@@ -1,0 +1,143 @@
+"""Spatial transformer stack (reference: gcd-model/sgm/modules/attention.py).
+
+CrossAttention (:255) / BasicTransformerBlock (:456) / SpatialTransformer (:619),
+with the xformers/SDPA kernels replaced by `gcd_tpu.ops.dot_product_attention`
+(XLA-fused einsum or Pallas flash kernel on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gcd_tpu.models.layers import FeedForward, GroupNorm32, LayerNormFp32
+from gcd_tpu.ops.attention import dot_product_attention
+
+Dtype = Any
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when `context` is None.
+
+    q: (B, S, C); context: (B, Sk, Ck). Projections have no bias except the
+    output projection (attention.py:272-279).
+    """
+
+    heads: int = 8
+    dim_head: int = 64
+    context_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        query_dim = x.shape[-1]
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        b, sq, _ = q.shape
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.heads, self.dim_head)
+        k = k.reshape(b, sk, self.heads, self.dim_head)
+        v = v.reshape(b, sk, self.heads, self.dim_head)
+
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, sq, inner)
+        return nn.Dense(query_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn -> cross-attn(context) -> FF, each with pre-LN and residual."""
+
+    n_heads: int
+    d_head: int
+    context_dim: Optional[int] = None
+    gated_ff: bool = True
+    disable_self_attn: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        h = LayerNormFp32(name="norm1")(x)
+        h = CrossAttention(
+            heads=self.n_heads,
+            dim_head=self.d_head,
+            context_dim=self.context_dim if self.disable_self_attn else None,
+            dtype=self.dtype,
+            name="attn1",
+        )(h, context=context if self.disable_self_attn else None)
+        x = h + x
+
+        h = LayerNormFp32(name="norm2")(x)
+        h = CrossAttention(
+            heads=self.n_heads,
+            dim_head=self.d_head,
+            context_dim=self.context_dim,
+            dtype=self.dtype,
+            name="attn2",
+        )(h, context=context)
+        x = h + x
+
+        h = LayerNormFp32(name="norm3")(x)
+        h = FeedForward(glu=self.gated_ff, dtype=self.dtype, name="ff")(h)
+        return h + x
+
+
+class SpatialTransformer(nn.Module):
+    """GroupNorm + (linear|1x1-conv) proj-in, N transformer blocks, zero-init
+    proj-out, residual (attention.py:619-725). Input (N, H, W, C)."""
+
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    context_dim: Optional[int] = None
+    use_linear: bool = False
+    disable_self_attn: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        inner = self.n_heads * self.d_head
+        x_in = x
+
+        x = GroupNorm32(epsilon=1e-6, name="norm")(x)
+        if not self.use_linear:
+            x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(n, h * w, x.shape[-1])
+        if self.use_linear:
+            x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+
+        for d in range(self.depth):
+            x = BasicTransformerBlock(
+                n_heads=self.n_heads,
+                d_head=self.d_head,
+                context_dim=self.context_dim,
+                disable_self_attn=self.disable_self_attn,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{d}",
+            )(x, context=context)
+
+        if self.use_linear:
+            x = nn.Dense(
+                c, kernel_init=nn.initializers.zeros, dtype=self.dtype,
+                name="proj_out",
+            )(x)
+        x = x.reshape(n, h, w, x.shape[-1])
+        if not self.use_linear:
+            x = nn.Conv(
+                c, (1, 1), kernel_init=nn.initializers.zeros, dtype=self.dtype,
+                name="proj_out",
+            )(x)
+        return x + x_in

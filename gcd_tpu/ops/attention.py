@@ -1,0 +1,69 @@
+"""Attention ops — the TPU-native replacement for the reference's xformers /
+torch-SDPA CUDA kernels (gcd-model/sgm/modules/attention.py:15-36, 417-439).
+
+Two paths:
+  * `_xla_attention` — einsum attention with fp32 softmax. For GCD's sequence
+    lengths (spatial <= 48*32 = 1536 tokens, temporal T = 14) XLA already fuses
+    this well on the MXU; it is the correctness reference and CPU/test path.
+  * `flash_attention` (ops/flash_attention.py) — Pallas fused kernel for TPU,
+    selected automatically for large token counts on TPU backends.
+
+Layout convention: (batch, seq, heads, head_dim) — "BSHD", matching jax
+conventions (not torch's BHSD).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """(B, Sq, H, D) x (B, Sk, H, D) -> (B, Sq, H, D); softmax in fp32."""
+    d = q.shape[-1]
+    scale = d**-0.5 if scale is None else scale
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Dispatching attention entry point used by all model code.
+
+    use_flash=None selects automatically: Pallas flash kernel on TPU for
+    sequences where tiling pays off, XLA einsum otherwise.
+    """
+    if use_flash is None:
+        use_flash = (
+            jax.default_backend() == "tpu"
+            and q.shape[1] >= 512
+            and q.shape[1] == k.shape[1]
+            and q.shape[-1] in (64, 128)
+        )
+    if use_flash:
+        from gcd_tpu.ops.flash_attention import flash_attention
+
+        try:
+            return flash_attention(q, k, v, scale=scale)
+        except Exception:
+            return _xla_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale=scale)
