@@ -50,11 +50,27 @@ class FrozenOpenCLIPImageEmbedder(nn.Module):
     output_tokens: bool = False
     init_device: Optional[str] = None
     dtype: Dtype = jnp.float32
+    # Tower-architecture overrides (defaults = ViT-H/14; shrunk in unit tests).
+    clip_width: int = 1280
+    clip_layers: int = 32
+    clip_heads: int = 16
+    clip_patch_size: int = 14
+    clip_image_size: int = 224
+    clip_output_dim: int = 1024
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
-        x = clip_preprocess(image)
-        return CLIPVisionTower(dtype=self.dtype, name="visual")(x)
+        x = clip_preprocess(image, image_size=self.clip_image_size)
+        return CLIPVisionTower(
+            width=self.clip_width,
+            layers=self.clip_layers,
+            heads=self.clip_heads,
+            patch_size=self.clip_patch_size,
+            image_size=self.clip_image_size,
+            output_dim=self.clip_output_dim,
+            dtype=self.dtype,
+            name="visual",
+        )(x)
 
 
 @register("sgm.modules.encoders.modules.FrozenOpenCLIPImagePredictionEmbedder")

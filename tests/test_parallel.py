@@ -1,0 +1,117 @@
+"""SPMD tests on the 8-device virtual CPU mesh: sharded train step runs and
+matches the single-device step numerically."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcd_tpu.parallel.mesh import (
+    create_mesh,
+    make_param_shardings,
+    shard_batch,
+    shard_params,
+)
+from gcd_tpu.engine.trainer import (
+    create_train_state,
+    make_jitted_train_step,
+)
+from gcd_tpu.utils.config import instantiate_from_config
+from tests.helpers import tiny_engine_config
+
+B, T, H, W = 4, 2, 32, 48  # B*T = 8 shards over 8 devices
+
+
+def _tiny_engine():
+    cfg = tiny_engine_config()
+    cfg["params"]["sampler_config"]["params"]["guider_config"]["params"][
+        "num_frames"
+    ] = T
+    return instantiate_from_config(cfg)
+
+
+def test_mesh_creation():
+    mesh = create_mesh(data=4, fsdp=2)
+    assert mesh.shape == {"data": 4, "fsdp": 2}
+    mesh = create_mesh(fsdp=2)
+    assert mesh.shape["data"] == 4
+
+
+def test_param_sharding_rules():
+    mesh = create_mesh(data=2, fsdp=4)
+    params = {
+        "big": jnp.zeros((1024, 512)),
+        "small": jnp.zeros((32,)),
+        "odd": jnp.zeros((1023, 7)),
+    }
+    sh = make_param_shardings(params, mesh, min_weight_size=1024)
+    assert "fsdp" in str(sh["big"].spec)
+    assert sh["small"].spec == jax.sharding.PartitionSpec()
+    assert sh["odd"].spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_train_step_matches_single_device():
+    engine = _tiny_engine()
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(lambda k: engine.init_params(k, img_hw=(H, W), t=T))(key)
+
+    batch = engine.example_batch((H, W), T, B)
+    batch["jpg"] = jax.random.normal(jax.random.fold_in(key, 1),
+                                     (B * T, H, W, 3)) * 0.3
+    batch["cond_frames"] = batch["jpg"] + 0.01
+    batch["cond_frames_without_noise"] = batch["jpg"]
+    batch["image_only_indicator"] = jnp.zeros((B, T))
+
+    # --- single device ---
+    state1, opt1 = create_train_state(engine, params, 1e-4)
+    step1 = make_jitted_train_step(engine, opt1, donate=False)
+    new1, m1 = step1(state1, batch, key)
+
+    # --- 8-device data||fsdp mesh ---
+    mesh = create_mesh(data=4, fsdp=2)
+    sharded_params, _ = shard_params(params, mesh, min_weight_size=2**12)
+    sharded_batch, _ = shard_batch(batch, mesh)
+    state2, opt2 = create_train_state(engine, sharded_params, 1e-4)
+    step2 = make_jitted_train_step(engine, opt2, donate=False)
+    new2, m2 = step2(state2, sharded_batch, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4, atol=1e-5)
+    # spot-check an updated parameter tree leaf
+    l1 = jax.tree_util.tree_leaves(new1.params["model"])[0]
+    l2 = jax.tree_util.tree_leaves(new2.params["model"])[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-3,
+                               atol=2e-5)
+
+
+def test_frozen_params_not_updated():
+    engine = _tiny_engine()
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(lambda k: engine.init_params(k, img_hw=(H, W), t=T))(key)
+    # Zero-init output convs block gradient flow into the interior at init
+    # (dL/dh through a zero kernel is zero) — perturb the UNet so gradients
+    # reach the conditioner, as they would after the first real update.
+    params["model"] = jax.tree_util.tree_map(
+        lambda p: p + 0.01, params["model"]
+    )
+    batch = engine.example_batch((H, W), T, B)
+    batch["jpg"] = jax.random.normal(key, (B * T, H, W, 3)) * 0.3
+
+    state, opt = create_train_state(engine, params, 1e-2)
+    step = make_jitted_train_step(engine, opt, donate=False)
+    new_state, _ = step(state, batch, key)
+
+    # First-stage VAE must be bit-identical (frozen).
+    for a, b in zip(jax.tree_util.tree_leaves(state.params["first_stage"]),
+                    jax.tree_util.tree_leaves(new_state.params["first_stage"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # CLIP embedder frozen too.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params["conditioner"]["embedders_0"]),
+        jax.tree_util.tree_leaves(new_state.params["conditioner"]["embedders_0"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Trainable spherical embedder must have moved.
+    a = jax.tree_util.tree_leaves(state.params["conditioner"]["embedders_5"])[0]
+    b = jax.tree_util.tree_leaves(new_state.params["conditioner"]["embedders_5"])[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
