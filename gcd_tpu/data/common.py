@@ -1,0 +1,182 @@
+"""Frame I/O + preprocessing + trajectory construction.
+
+Behavioral reference: gcd-model/sgm/data/common.py. NHWC numpy throughout
+(the reference is CHW torch); images live in [-1, 1] float32.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# JSON helpers (common.py:427-447)
+# ---------------------------------------------------------------------------
+
+
+class JsonNumpyEncoder(json.JSONEncoder):
+    def default(self, obj):
+        if isinstance(obj, np.integer):
+            return int(obj)
+        if isinstance(obj, np.floating):
+            return float(obj)
+        if isinstance(obj, np.ndarray):
+            return obj.tolist()
+        return super().default(obj)
+
+
+def load_json(fp: str):
+    with open(fp, "r") as f:
+        return json.load(f)
+
+
+def save_json(obj, fp: str):
+    with open(fp, "w") as f:
+        json.dump(obj, f, cls=JsonNumpyEncoder, indent=2)
+
+
+# ---------------------------------------------------------------------------
+# Image preprocessing (common.py:56-165)
+# ---------------------------------------------------------------------------
+
+
+def center_crop_to_ar(img: np.ndarray, target_ar: float) -> np.ndarray:
+    """Center-crop (H, W, C) to the target aspect ratio (common.py:56-86)."""
+    h, w = img.shape[:2]
+    cur_ar = w / h
+    if cur_ar > target_ar + 1e-6:
+        new_w = int(round(h * target_ar))
+        x0 = (w - new_w) // 2
+        return img[:, x0:x0 + new_w]
+    if cur_ar < target_ar - 1e-6:
+        new_h = int(round(w / target_ar))
+        y0 = (h - new_h) // 2
+        return img[y0:y0 + new_h]
+    return img
+
+
+def process_image(
+    img: np.ndarray,
+    center_crop: bool,
+    frame_width: int,
+    frame_height: int,
+) -> np.ndarray:
+    """uint8/float (H, W, 3) -> float32 (H', W', 3) in [-1, 1]
+    (common.py:133-165; NHWC instead of CHW)."""
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    img = np.asarray(img, dtype=np.float32)
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, axis=-1)
+    if img.shape[-1] == 4:
+        img = img[..., :3]
+    if center_crop:
+        img = center_crop_to_ar(img, frame_width / frame_height)
+    if img.shape[0] != frame_height or img.shape[1] != frame_width:
+        img = cv2.resize(img, (frame_width, frame_height),
+                         interpolation=cv2.INTER_LINEAR)
+    return img * 2.0 - 1.0
+
+
+def load_image(fp: str) -> np.ndarray:
+    """RGB uint8 (H, W, 3)."""
+    img = cv2.imread(fp, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(fp)
+    if img.ndim == 3 and img.shape[-1] >= 3:
+        img[..., :3] = img[..., :3][..., ::-1]  # BGR -> RGB
+    return img
+
+
+def load_video_mp4(fp: str, max_frames: Optional[int] = None) -> np.ndarray:
+    """(T, H, W, 3) uint8 via OpenCV (replaces the reference's mediapy,
+    common.py:166-200)."""
+    cap = cv2.VideoCapture(fp)
+    if not cap.isOpened():
+        raise FileNotFoundError(fp)
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(frame[..., ::-1])
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {fp}")
+    return np.stack(frames)
+
+
+def save_video_mp4(fp: str, frames: np.ndarray, fps: int = 12,
+                   quality: int = 8) -> None:
+    """(T, H, W, 3) uint8/float in [0,1] -> mp4 via imageio-ffmpeg with the
+    reference's retry behavior (eval_utils.py:553-566)."""
+    import imageio
+
+    if frames.dtype != np.uint8:
+        frames = (np.clip(frames, 0.0, 1.0) * 255.0).astype(np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(fp)), exist_ok=True)
+    for attempt in range(3):
+        try:
+            imageio.mimwrite(fp, list(frames), fps=fps, quality=quality)
+            return
+        except Exception:
+            if attempt == 2:
+                raise
+
+
+def load_kubric_video_rgb_frames(
+    scene_dp: str,
+    view_idx: int,
+    clip_frames,
+    center_crop: bool,
+    frame_width: int,
+    frame_height: int,
+    phase: int = 0,
+) -> np.ndarray:
+    """Load per-frame Kubric RGBA pngs for one view (common.py:202-270).
+    Layout: {scene}/frames_p{phase}_v{view}/rgba_{t:05d}.png."""
+    scene_dn = os.path.basename(scene_dp.rstrip("/"))
+    frames = []
+    frames_dp = os.path.join(scene_dp, f"frames_p{phase}_v{view_idx}")
+    for t in clip_frames:
+        fp = os.path.join(frames_dp, f"rgba_{t:05d}.png")
+        img = load_image(fp)
+        frames.append(process_image(img, center_crop, frame_width, frame_height))
+    return np.stack(frames)
+
+
+# ---------------------------------------------------------------------------
+# Trajectory construction (common.py:450-479)
+# ---------------------------------------------------------------------------
+
+
+def construct_trajectory(
+    spherical_start: np.ndarray,
+    spherical_end: np.ndarray,
+    trajectory: str,
+    model_frames: int,
+    move_time: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """src stays at the start pose; dst interpolates start -> end over
+    `move_time` frames (linear or sine ease), then holds the end pose."""
+    tcm = model_frames
+    spherical_src = np.tile(spherical_start[None], (tcm, 1)).astype(np.float32)
+    spherical_dst = np.tile(spherical_end[None], (tcm, 1)).astype(np.float32)
+    if move_time >= 1:
+        for t in range(0, move_time):
+            if trajectory == "interpol_linear":
+                alpha = t / move_time
+            elif trajectory == "interpol_sine":
+                alpha = (1.0 - np.cos(t / move_time * np.pi)) / 2.0
+            else:
+                raise ValueError(f"Unknown trajectory: {trajectory}")
+            if t < tcm:
+                spherical_dst[t] = spherical_start * (1.0 - alpha) + spherical_end * alpha
+    return spherical_src, spherical_dst

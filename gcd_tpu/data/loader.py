@@ -1,0 +1,121 @@
+"""Host-side input pipeline: threaded prefetching loader.
+
+The TPU-native replacement for the reference's torch DataLoader worker
+processes + dedicated data GPU (SURVEY.md section 2.8 "heterogeneous device
+split"): dataset __getitem__ runs on host threads (point splatting executes as
+jitted XLA-CPU programs, releasing the GIL), batches are collated to numpy and
+double-buffered ahead of the training step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def collate_fn(example_list: List[Dict]) -> Dict:
+    """Stack examples then merge batch & time dims: (B, T, ...) -> (B*T, ...)
+    (reference kubric_arbit.py:650-655). Scalars stay per-example stacked."""
+    out: Dict = {}
+    keys = example_list[0].keys()
+    for k in keys:
+        vals = [np.asarray(e[k]) for e in example_list]
+        stacked = np.stack(vals)  # (B, ...)
+        if stacked.ndim >= 2:
+            b, t = stacked.shape[0], stacked.shape[1]
+            if k == "image_only_indicator":
+                # (B, 1, T) -> (B, T): stays the per-video indicator.
+                out[k] = stacked.reshape(b, stacked.shape[-1]).astype(np.float32)
+                continue
+            out[k] = stacked.reshape((b * t,) + stacked.shape[2:])
+        else:
+            out[k] = stacked
+    if "image_only_indicator" in out:
+        out["num_video_frames"] = int(out["image_only_indicator"].shape[-1])
+    return out
+
+
+class PrefetchLoader:
+    """Iterates a map-style dataset with worker threads + a prefetch queue."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 2,
+        prefetch: int = 2,
+        seed: int = 0,
+        collate: Callable = collate_fn,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.collate = collate
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self._epoch))
+            rng.shuffle(order)
+        self._epoch += 1
+
+        batches = [
+            order[i:i + self.batch_size]
+            for i in range(0, n - (self.batch_size - 1 if self.drop_last else 0),
+                           self.batch_size)
+        ]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        idx_q: "queue.Queue" = queue.Queue()
+        for bi, b in enumerate(batches):
+            idx_q.put((bi, b))
+        stop = threading.Event()
+        results: Dict[int, Dict] = {}
+        results_lock = threading.Lock()
+        next_emit = [0]
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    bi, idxs = idx_q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    examples = [self.dataset[int(i)] for i in idxs]
+                    batch = self.collate(examples)
+                except Exception as e:  # surface errors to the consumer
+                    batch = e
+                with results_lock:
+                    results[bi] = batch
+                    while next_emit[0] in results:
+                        out_q.put(results.pop(next_emit[0]))
+                        next_emit[0] += 1
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        try:
+            for _ in range(len(batches)):
+                item = out_q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
