@@ -180,3 +180,87 @@ def construct_trajectory(
             if t < tcm:
                 spherical_dst[t] = spherical_start * (1.0 - alpha) + spherical_end * alpha
     return spherical_src, spherical_dst
+
+
+# ---------------------------------------------------------------------------
+# ParallelDomain-4D frame loading / visualization (common.py:255-424)
+# ---------------------------------------------------------------------------
+
+
+def get_pardom_camera_dn(ego_magic: str, view_idx: int) -> str:
+    if ego_magic == "ego":
+        return ["yaw-60", "yaw-0", "yaw-neg-60"][view_idx]  # left to right
+    if ego_magic == "magic":
+        return f"camera{view_idx}"  # back view, counterclockwise
+    raise ValueError(ego_magic)
+
+
+def load_pardom_frame(scene_dp: str, modality: str, camera: str, time_idx: int):
+    """Raw PD frame: depth (H, W) f32; rgb-like (H, W, 4) f32 in [0,1];
+    segmentation (H, W) uint24 packed ids (common.py:271-303)."""
+    if "depth" in modality:
+        fp = os.path.join(scene_dp, modality, camera, f"{time_idx * 10 + 5:018d}.npz")
+        return np.load(fp)["data"]
+    fp = os.path.join(scene_dp, modality, camera, f"{time_idx * 10 + 5:018d}.png")
+    img = cv2.imread(fp, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(fp)
+    if img.ndim == 2:
+        img = img[..., None]
+    # BGR(A) -> RGB(A), float [0, 1] like plt.imread on 8-bit pngs
+    if img.shape[-1] >= 3:
+        img = np.concatenate([img[..., 2:3], img[..., 1:2], img[..., 0:1],
+                              img[..., 3:4] if img.shape[-1] == 4 else
+                              np.full_like(img[..., :1], 255)], axis=-1)
+    frame = img.astype(np.float32) / 255.0
+    if "segmentation" in modality:
+        f = (frame * 255.0).astype(np.int64)
+        frame = f[..., 0] + f[..., 1] * 256 + f[..., 2] * 256 * 256
+    return frame
+
+
+def visualize_pardom_frame(frame, modality: str, camera: str, ontology) -> np.ndarray:
+    """Any PD modality -> (H, W, 3) float32 in [0, 1] (common.py:306-390)."""
+    if "depth" in modality:
+        depth_vis = np.exp(-frame / 12.0)
+        dmin, dmax = depth_vis.min(), depth_vis.max()
+        depth_vis = (depth_vis - dmin) / (dmax - dmin + 1e-7)
+        import matplotlib.pyplot as plt
+
+        return plt.cm.plasma(depth_vis)[..., 0:3].astype(np.float32)
+    if "instance" in modality:
+        return ontology["instance_id_rgb_map"][frame % 65536].astype(np.float32)
+    if "motion" in modality:
+        import matplotlib.colors
+
+        dx = frame[..., 0] + frame[..., 1] * 256.0 - 128.0
+        dy = frame[..., 2] + frame[..., 3] * 256.0 - 128.0
+        angle = np.arctan2(dy, dx)
+        mag = np.sqrt(dx**2 + dy**2)
+        hue = (angle + np.pi) / (2.0 * np.pi)
+        value = np.clip(np.sqrt(mag / (mag.max() + 1e-7)), 0.0, 1.0)
+        hsv = np.stack([hue, np.ones_like(hue), value], axis=-1)
+        return matplotlib.colors.hsv_to_rgb(hsv).astype(np.float32)
+    if "rgb" in modality:
+        return frame[..., 0:3].astype(np.float32)
+    if "semantic" in modality:
+        return np.asarray(ontology["semantic_id_rgb_map"])[frame].astype(np.float32)
+    if "surface" in modality:
+        return frame[..., 0:3].astype(np.float32)
+    raise ValueError(modality)
+
+
+def load_pardom_video_vis_frames(scene_dp, modality, ego_magic, view_inds, ontology,
+                                 clip_frames, center_crop, frame_width, frame_height):
+    """(T, H, W, 3) float32 in [-1, 1] (common.py:391-424; NHWC)."""
+    if modality == "segm":
+        modality = "semantic_segmentation_2d"
+    if not isinstance(view_inds, list):
+        view_inds = [view_inds] * len(clip_frames)
+    frames = []
+    for view_idx, frame_idx in zip(view_inds, clip_frames):
+        camera = get_pardom_camera_dn(ego_magic, view_idx)
+        raw = load_pardom_frame(scene_dp, modality, camera, frame_idx)
+        vis = visualize_pardom_frame(raw, modality, camera, ontology)
+        frames.append(process_image(vis, center_crop, frame_width, frame_height))
+    return np.stack(frames)
