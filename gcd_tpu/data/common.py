@@ -115,20 +115,28 @@ def load_video_mp4(fp: str, max_frames: Optional[int] = None) -> np.ndarray:
 
 def save_video_mp4(fp: str, frames: np.ndarray, fps: int = 12,
                    quality: int = 8) -> None:
-    """(T, H, W, 3) uint8/float in [0,1] -> mp4 via imageio-ffmpeg with the
-    reference's retry behavior (eval_utils.py:553-566)."""
-    import imageio
-
+    """(T, H, W, 3) uint8/float in [0,1] -> mp4, with the reference's retry
+    behavior (eval_utils.py:553-566). Prefers imageio-ffmpeg; falls back to
+    OpenCV's VideoWriter (this image ships imageio without the ffmpeg plugin)."""
     if frames.dtype != np.uint8:
         frames = (np.clip(frames, 0.0, 1.0) * 255.0).astype(np.uint8)
     os.makedirs(os.path.dirname(os.path.abspath(fp)), exist_ok=True)
+    last_err = None
     for attempt in range(3):
         try:
+            import imageio
+
             imageio.mimwrite(fp, list(frames), fps=fps, quality=quality)
             return
-        except Exception:
-            if attempt == 2:
-                raise
+        except Exception as e:
+            last_err = e
+    h, w = frames.shape[1:3]
+    writer = cv2.VideoWriter(fp, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not writer.isOpened():
+        raise last_err or RuntimeError(f"cannot open video writer for {fp}")
+    for frame in frames:
+        writer.write(frame[..., ::-1])
+    writer.release()
 
 
 def load_kubric_video_rgb_frames(

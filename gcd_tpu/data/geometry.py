@@ -24,11 +24,19 @@ reference formulas exactly.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Loader worker threads call the jitted splat concurrently; serializing the
+# dispatch avoids a rare jax-CPU deadlock observed when multiple Python threads
+# execute first-compile + device-to-host transfers simultaneously (XLA still
+# parallelizes each render internally across cores, so throughput is
+# unaffected).
+_RENDER_LOCK = threading.Lock()
 
 # ---------------------------------------------------------------------------
 # Quaternions / camera matrices (numpy, host-side)
@@ -371,10 +379,12 @@ def render_point_cloud(
     valid = np.zeros((n_pad,), dtype=bool)
     valid[:n] = True
 
-    img, _ = splat_points_to_image(
-        jnp.asarray(xyz_p), jnp.asarray(rgb_p), jnp.asarray(valid),
-        jnp.asarray(intrinsics), jnp.asarray(extrinsics),
-        height, width, spread_radius=spread_radius, mode=mode,
-    )
-    img = blur_into_black(img, kernel_size=blur_kernel, sigma=blur_kernel / 4.0)
-    return np.asarray(img)
+    with _RENDER_LOCK:
+        img, _ = splat_points_to_image(
+            jnp.asarray(xyz_p), jnp.asarray(rgb_p), jnp.asarray(valid),
+            jnp.asarray(intrinsics), jnp.asarray(extrinsics),
+            height, width, spread_radius=spread_radius, mode=mode,
+        )
+        img = blur_into_black(img, kernel_size=blur_kernel,
+                              sigma=blur_kernel / 4.0)
+        return np.asarray(img)

@@ -261,10 +261,12 @@ class KubricSynthViewDataset:
             rgb_dst.append(self._render_traj_frame(
                 xyz_flat, rgb_flat, used_k, extrinsics_dst[t]))
             if reproject is not None:
-                # RGBD-reprojection baseline from stored view 4 only
-                # (kubric_arbit.py:508-545)
-                src_xyz = xyz[4].astype(np.float32)
-                src_rgb = rgb[4].astype(np.float32) / 255.0
+                # RGBD-reprojection baseline from stored view 4 — the first
+                # "dense low down" viewpoint (kubric_arbit.py:508-545);
+                # clamped for reduced-view test fixtures.
+                v = 4 if xyz.shape[0] > 4 else 0
+                src_xyz = xyz[v].astype(np.float32)
+                src_rgb = rgb[v].astype(np.float32) / 255.0
                 img = geometry.render_point_cloud(
                     src_xyz, src_rgb, used_k, extrinsics_dst[t],
                     self.render_height, self.render_width,

@@ -79,15 +79,24 @@ class PrefetchLoader:
             for i in range(0, n - (self.batch_size - 1 if self.drop_last else 0),
                            self.batch_size)
         ]
+        if not batches:
+            return
+
+        # Warmup: the first batch is computed synchronously in the calling
+        # thread so every jitted kernel in the dataset's render path compiles
+        # exactly once before worker threads start. Concurrent first-compiles
+        # from multiple Python threads have been observed to deadlock the
+        # XLA-CPU client (rare, but fatal for a training job).
+        first_batch = self.collate([self.dataset[int(i)] for i in batches[0]])
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         idx_q: "queue.Queue" = queue.Queue()
-        for bi, b in enumerate(batches):
+        for bi, b in enumerate(batches[1:], start=1):
             idx_q.put((bi, b))
         stop = threading.Event()
         results: Dict[int, Dict] = {}
         results_lock = threading.Lock()
-        next_emit = [0]
+        next_emit = [1]
 
         def worker():
             while not stop.is_set():
@@ -112,7 +121,8 @@ class PrefetchLoader:
             t.start()
 
         try:
-            for _ in range(len(batches)):
+            yield first_batch
+            for _ in range(len(batches) - 1):
                 item = out_q.get()
                 if isinstance(item, Exception):
                     raise item

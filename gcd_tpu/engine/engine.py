@@ -145,11 +145,17 @@ class DiffusionEngine:
             if self.conditioner.emb_models else {}
 
         vae_params = self.first_stage_model.init(k_vae, img_hw=img_hw, t=min(t, 2))
-        return {
+        out = {
             "model": model_params,
             "conditioner": cond_params,
             "first_stage": vae_params,
         }
+        if self.ft_strategy == "time_lora":
+            from gcd_tpu.models.lora import init_lora_params
+
+            out["lora"] = init_lora_params(
+                jax.random.fold_in(key, 99), model_params, rank=16, match="time")
+        return out
 
     def example_batch(self, img_hw: Tuple[int, int] = (256, 384), t: int = 14,
                       b: int = 1) -> Dict:
@@ -226,6 +232,15 @@ class DiffusionEngine:
     # ------------------------------------------------------------------
     # Network adapter (OpenAIWrapper)
     # ------------------------------------------------------------------
+
+    def effective_model_params(self, params: Dict):
+        """UNet params with LoRA deltas merged when ft_strategy='time_lora'
+        (diffusion.py:134-155)."""
+        if self.ft_strategy == "time_lora" and "lora" in params:
+            from gcd_tpu.models.lora import apply_lora
+
+            return apply_lora(params["model"], params["lora"])
+        return params["model"]
 
     def network_fn(self, model_params, x: Array, c_noise: Array, cond: Dict,
                    num_video_frames: int,
@@ -324,10 +339,12 @@ class DiffusionEngine:
         cond = self.apply_conditioner(params, batch, train=True, rng=k_cond)
         t = static_num_frames(batch)
 
+        model_params = self.effective_model_params(params)
+
         def network(xin, c_noise, c, **extra):
             ioi = extra.get("image_only_indicator")
             return self.network_fn(
-                params["model"], xin, c_noise, c,
+                model_params, xin, c_noise, c,
                 num_video_frames=t,
                 image_only_indicator=ioi,
             )
@@ -360,10 +377,12 @@ class DiffusionEngine:
         ioi = batch["image_only_indicator"]
         ioi2 = jnp.concatenate([ioi, ioi], axis=0)  # CFG doubles the batch
 
+        model_params = self.effective_model_params(params)
+
         def denoiser_fn(x, sigma, cond):
             return self.denoiser(
                 lambda xx, cn, cc, **kw: self.network_fn(
-                    params["model"], xx, cn, cc, num_video_frames=t,
+                    model_params, xx, cn, cc, num_video_frames=t,
                     image_only_indicator=ioi2,
                 ),
                 x, sigma, cond,
@@ -432,13 +451,17 @@ class DiffusionEngine:
                     out[k] = flag_fn(prefix + (k,))
             return out
 
-        return {
+        out = {
             "model": walk(params.get("model", {}), model_flag),
             "conditioner": walk(params.get("conditioner", {}), cond_flag),
             "first_stage": jax.tree_util.tree_map(
                 lambda _: False, params.get("first_stage", {})
             ),
         }
+        if "lora" in params:
+            out["lora"] = jax.tree_util.tree_map(
+                lambda _: self.ft_strategy == "time_lora", params["lora"])
+        return out
 
 
 def _merge_with_template(loaded: Dict, template: Dict) -> Dict:

@@ -32,16 +32,22 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(engine: DiffusionEngine, params, learning_rate: float,
-                   schedule_fn=None) -> optax.GradientTransformation:
+                   schedule_fn=None,
+                   accumulate_steps: int = 1) -> optax.GradientTransformation:
     """Adam (the shipped configs override AdamW -> Adam, train yaml
-    optimizer_config) with non-trainable params masked out."""
+    optimizer_config) with non-trainable params masked out; gradient
+    accumulation via MultiSteps (Lightning accumulate_grad_batches,
+    main.py:950-955)."""
     mask = engine.trainable_mask(params)
     if schedule_fn is not None:
         lr = schedule_fn
     else:
         lr = learning_rate
     opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
-    return optax.masked(opt, mask)
+    opt = optax.masked(opt, mask)
+    if accumulate_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accumulate_steps)
+    return opt
 
 
 def create_train_state(
@@ -49,8 +55,10 @@ def create_train_state(
     params,
     learning_rate: float,
     schedule_fn=None,
+    accumulate_steps: int = 1,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
-    opt = make_optimizer(engine, params, learning_rate, schedule_fn)
+    opt = make_optimizer(engine, params, learning_rate, schedule_fn,
+                         accumulate_steps)
     opt_state = opt.init(params)
     ema = ema_init(params["model"], engine.ema_decay_rate) if engine.use_ema else None
     return TrainState(params=params, opt_state=opt_state,

@@ -84,25 +84,14 @@ def flax_path_to_torch_key(path: Sequence[str]) -> Optional[Tuple[str, str]]:
     segs = [s for s in path[:-1] if s not in _SKIP_SEGMENTS]
     leaf = path[-1]
 
-    # Collapse the norm-wrapper's inner "norm" module (GroupNorm32/VAEGroupNorm/
-    # LayerNormFp32 name their inner flax norm "norm"); a real torch module
-    # called "norm" then appears as norm/norm.
-    if segs and segs[-1] == "norm" and leaf in ("scale", "bias") and len(segs) >= 1:
-        # Drop only if the wrapper itself carries the torch name (i.e. previous
-        # segment is the wrapper): we detect by checking the segment before is
-        # not itself a leaf-holder. Both norm/norm -> norm and in_layers_0/norm
-        # -> in_layers.0 are handled by dropping the trailing "norm" when the
-        # remaining path is non-empty and the new last segment is a norm-like
-        # name.
-        prior = segs[-2] if len(segs) >= 2 else ""
-        norm_like = (
-            prior in ("norm", "norm1", "norm2", "norm3", "norm_in", "norm_out",
-                      "ln_1", "ln_2", "ln_pre", "ln_post")
-            or prior.startswith("in_layers")
-            or prior.startswith("out_layers")
-        )
-        if norm_like:
-            segs = segs[:-1]
+    # Collapse the norm-wrapper's inner "norm" module: GroupNorm32 /
+    # VAEGroupNorm / LayerNormFp32 always name their inner flax norm "norm" and
+    # it always directly precedes the scale/bias leaf. A real torch module
+    # called "norm" then appears as norm/norm and collapses to norm. Plain
+    # flax norms in this codebase never use the bare name "norm", so the drop
+    # is unconditional (guarded only against a top-level norm).
+    if len(segs) >= 2 and segs[-1] == "norm" and leaf in ("scale", "bias"):
+        segs = segs[:-1]
 
     # MultiheadAttention combined projection: attn/in_proj -> attn.in_proj_weight
     if segs and segs[-1] == "in_proj":

@@ -1,0 +1,319 @@
+"""Shared evaluation/inference utilities.
+
+Behavioral reference: gcd-model/scripts/eval_utils.py — model-bundle loading
+with inference config surgery (:35-92), train-config introspection (:95-143),
+batch construction for arbitrary videos with spherical trajectories +
+motion-bucket sync (:191-263), input path resolution (:337-413), media writing
+(:510-566), latent PCA visualization (:482), text overlays (:450).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import pathlib
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gcd_tpu.data import common
+from gcd_tpu.utils.config import (
+    load_config, set_by_path, get_by_path, instantiate_from_config,
+)
+
+MODEL_NAME_SHORTENER = {
+    "kubric": "kb", "pardom": "pd", "gradual": "gr", "direct": "di",
+    "semantic": "sem", "max": "m",
+}
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    engine: object
+    params: Dict
+    train_config: Optional[Dict]
+    test_config: Dict
+    model_name: str
+    # Camera/trajectory metadata pulled from the train config
+    # (eval_utils.py:95-143):
+    delta_azimuth_range: List[float]
+    delta_elevation_range: List[float]
+    delta_radius_range: List[float]
+    trajectory: str
+    move_time: int
+    camera_control: str
+    motion_bucket_range: List[int]
+
+
+def _find_train_config(model_path: str) -> Optional[str]:
+    """(eval_utils.py:63-75): sibling yaml, or the run's configs dir."""
+    cand = model_path.replace(".ckpt", ".yaml").replace(".safetensors", ".yaml")
+    if os.path.exists(cand) and cand != model_path:
+        return cand
+    p = pathlib.Path(model_path)
+    d = p.parent
+    if d.name == "checkpoints":
+        d = d.parent
+    hits = sorted(glob.glob(str(d) + "/*config*/*.yaml"))
+    return hits[-1] if hits else None
+
+
+def shorten_model_name(model_path: str) -> str:
+    """(eval_utils.py:77-88)."""
+    if "/checkpoints" in model_path:
+        return model_path.split("/checkpoints")[0].rsplit("_", 1)[-1]
+    name = os.path.basename(model_path).split(".")[0]
+    for k, v in MODEL_NAME_SHORTENER.items():
+        name = name.replace(k, v)
+    return name
+
+
+def load_model_bundle(config_path: str, model_path: str, support_ema: bool = False,
+                      num_steps: int = 25, num_frames: int = 14,
+                      max_scale: float = 1.5, min_scale: float = 1.0,
+                      img_hw=(256, 384), verbose: bool = False) -> ModelBundle:
+    """Build the engine from an inference config with the reference's config
+    surgery (eval_utils.py:43-58), then load weights (torch checkpoint or
+    orbax run directory)."""
+    import jax
+
+    test_config = load_config(config_path)
+    set_by_path(test_config, "model.params.ckpt_path", model_path)
+    set_by_path(test_config, "model.params.use_ema", bool(support_ema))
+    set_by_path(test_config, "model.params.ckpt_has_ema", bool(support_ema))
+    set_by_path(test_config, "model.params.sampler_config.params.num_steps",
+                int(num_steps))
+    gp = "model.params.sampler_config.params.guider_config.params"
+    set_by_path(test_config, gp + ".num_frames", int(num_frames))
+    set_by_path(test_config, gp + ".max_scale", float(max_scale))
+    set_by_path(test_config, gp + ".min_scale", float(min_scale))
+
+    engine = instantiate_from_config(test_config["model"])
+
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda k: engine.init_params(k, img_hw=img_hw, t=num_frames)
+    )(key)
+
+    if model_path and os.path.exists(model_path):
+        if os.path.isdir(model_path) or "step_" in os.path.basename(model_path):
+            from gcd_tpu.io.checkpoint import restore_checkpoint, latest_step
+
+            ckpt_dir = model_path
+            step = None
+            if os.path.basename(model_path).startswith("step_"):
+                ckpt_dir = os.path.dirname(model_path)
+                step = int(os.path.basename(model_path).split("_")[1])
+            restored = restore_checkpoint(ckpt_dir, step)
+            params = restored.get("params", restored)
+        else:
+            params = engine.load_torch_checkpoint(model_path, params,
+                                                  verbose=verbose)
+            import jax.numpy as jnp
+
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+    elif verbose:
+        print(f"Warning: model path {model_path!r} not found; "
+              f"using random-init weights")
+
+    train_config_fp = _find_train_config(model_path) if model_path else None
+    train_config = load_config(train_config_fp) if train_config_fp else None
+
+    meta = dict(
+        delta_azimuth_range=[0.0, 0.0],
+        delta_elevation_range=[0.0, 0.0],
+        delta_radius_range=[0.0, 0.0],
+        trajectory="interpol_linear",
+        move_time=0,
+        camera_control="none",
+        motion_bucket_range=[127, 127],
+    )
+    if train_config is not None:
+        dp = get_by_path(train_config, "data.params", {}) or {}
+        if "azimuth_range" in dp:
+            meta["delta_azimuth_range"] = list(dp["delta_azimuth_range"])
+        if "elevation_range" in dp:
+            meta["delta_elevation_range"] = list(dp["delta_elevation_range"])
+        if "radius_range" in dp:
+            meta["delta_radius_range"] = list(dp["delta_radius_range"])
+        for k in ("trajectory", "move_time", "camera_control"):
+            if k in dp:
+                meta[k] = dp[k]
+        if "motion_bucket_range" in dp:
+            mbr = dp["motion_bucket_range"]
+            meta["motion_bucket_range"] = (
+                list(map(int, mbr.split(","))) if isinstance(mbr, str)
+                else list(mbr))
+
+    return ModelBundle(
+        engine=engine, params=params, train_config=train_config,
+        test_config=test_config,
+        model_name=shorten_model_name(model_path or "random"),
+        **meta,
+    )
+
+
+def construct_batch(input_rgb01: np.ndarray, azimuth_deg: float,
+                    elevation_deg: float, radius_m: float, input_frames: int,
+                    frame_rate: int, motion_bucket: int, cond_aug: float,
+                    force_custom_mbid: bool, bundle: ModelBundle,
+                    rng: Optional[np.random.Generator] = None) -> Dict:
+    """Batch dict for arbitrary videos (eval_utils.py:191-263).
+    input_rgb01: (T, H, W, 3) float in [0, 1]."""
+    rng = rng or np.random.default_rng(0)
+    tc = input_rgb01.shape[0]
+    rgb = input_rgb01.astype(np.float32) * 2.0 - 1.0
+    if input_frames < tc:
+        rgb[input_frames:] = rgb[input_frames - 1:input_frames]
+
+    batch = {
+        "motion_bucket_id": np.full((tc,), motion_bucket, dtype=np.int32),
+        "fps_id": np.full((tc,), frame_rate, dtype=np.int32),
+        "cond_aug": np.full((tc,), cond_aug, dtype=np.float32),
+        "cond_frames_without_noise": rgb,
+        "cond_frames": rgb + rng.standard_normal(rgb.shape).astype(np.float32)
+        * cond_aug,
+        "jpg": np.zeros_like(rgb),
+        "image_only_indicator": np.zeros((1, tc), dtype=np.float32),
+        "num_video_frames": tc,
+    }
+
+    spherical_start = np.zeros(3, dtype=np.float32)
+    spherical_end = np.array([azimuth_deg, elevation_deg, radius_m],
+                             dtype=np.float32)
+    if bundle.camera_control == "spherical":
+        assert np.isfinite(spherical_end).all()
+        s_src, s_dst = common.construct_trajectory(
+            spherical_start, spherical_end, bundle.trajectory, tc,
+            bundle.move_time)
+        angles = s_dst - s_src
+        angles[:, 0] *= np.pi / 180.0
+        angles[:, 1] *= np.pi / 180.0
+        batch["scaled_relative_angles"] = angles.astype(np.float32)
+    elif bundle.camera_control == "relative_pose":
+        batch["scaled_relative_pose"] = np.zeros((tc, 3, 4), dtype=np.float32)
+
+    # Motion-bucket sync (eval_utils.py:252-263).
+    mbr = bundle.motion_bucket_range
+    motion_range = mbr[1] - mbr[0]
+    if (bundle.camera_control != "none" and not force_custom_mbid
+            and motion_range > 0):
+        my_motion = np.linalg.norm(spherical_end[0:2] - spherical_start[0:2])
+        max_motion = np.linalg.norm([
+            max(*bundle.delta_azimuth_range),
+            max(*bundle.delta_elevation_range)])
+        motion_amount = my_motion / max_motion if max_motion > 0 else 0.0
+        motion_value = int(round(mbr[0] + motion_range * motion_amount))
+        batch["motion_bucket_id"] = np.full((tc,), motion_value, dtype=np.int32)
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# Inputs (eval_utils.py:337-449)
+# ---------------------------------------------------------------------------
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".webm", ".gif", ".mkv")
+
+
+def resolve_input_paths(spec: str) -> List[str]:
+    """A file, a directory, a glob, or a .txt list of paths."""
+    if spec.endswith(".txt"):
+        base = os.path.dirname(os.path.abspath(spec))
+        with open(spec) as f:
+            lines = [ln.strip() for ln in f if ln.strip()
+                     and not ln.startswith("#")]
+        return [ln if os.path.isabs(ln) else os.path.join(base, ln)
+                for ln in lines]
+    if os.path.isdir(spec):
+        out = []
+        for ext in IMAGE_EXTS + VIDEO_EXTS:
+            out += glob.glob(os.path.join(spec, f"*{ext}"))
+        return sorted(out)
+    if any(ch in spec for ch in "*?["):
+        return sorted(glob.glob(spec))
+    return [spec]
+
+
+def load_image_or_video(fp: str, num_frames: int, frame_offset: int = 0,
+                        frame_stride: int = 1, center_crop: bool = True,
+                        frame_width: int = 384,
+                        frame_height: int = 256) -> np.ndarray:
+    """(T, H, W, 3) float32 in [0, 1] (eval_utils.py:435-449): images are
+    repeated to T frames; videos are subsampled clip_frames."""
+    ext = os.path.splitext(fp)[1].lower()
+    if ext in IMAGE_EXTS:
+        img = common.load_image(fp)
+        frame = (common.process_image(
+            img, center_crop, frame_width, frame_height) + 1.0) / 2.0
+        return np.tile(frame[None], (num_frames, 1, 1, 1))
+    video = common.load_video_mp4(fp)
+    idx = np.arange(num_frames) * frame_stride + frame_offset
+    idx = np.clip(idx, 0, len(video) - 1)
+    frames = [
+        (common.process_image(video[i], center_crop, frame_width,
+                              frame_height) + 1.0) / 2.0
+        for i in idx
+    ]
+    return np.stack(frames)
+
+
+# ---------------------------------------------------------------------------
+# Outputs (eval_utils.py:450-566)
+# ---------------------------------------------------------------------------
+
+
+def draw_text(img01: np.ndarray, text: str, org=(6, 18), scale: float = 0.5,
+              color=(1.0, 1.0, 1.0)) -> np.ndarray:
+    import cv2
+
+    img = np.ascontiguousarray(img01.copy())
+    cv2.putText(img, text, org, cv2.FONT_HERSHEY_SIMPLEX, scale,
+                tuple(float(c) for c in color), 1, cv2.LINE_AA)
+    return img
+
+
+def quick_pca(latent: np.ndarray, k: int = 3) -> np.ndarray:
+    """(T, H, W, C) latents -> (T, H, W, 3) PCA visualization in [0, 1]
+    (eval_utils.py:482-508)."""
+    t, h, w, c = latent.shape
+    flat = latent.reshape(-1, c).astype(np.float64)
+    flat = flat - flat.mean(axis=0)
+    _, _, vt = np.linalg.svd(flat, full_matrices=False)
+    proj = flat @ vt[:k].T
+    lo, hi = np.percentile(proj, 2, axis=0), np.percentile(proj, 98, axis=0)
+    proj = (proj - lo) / np.maximum(hi - lo, 1e-8)
+    return np.clip(proj.reshape(t, h, w, k), 0.0, 1.0).astype(np.float32)
+
+
+def write_video_and_frames(out_dp: str, name: str, video01: np.ndarray,
+                           fps: int = 8, save_frames: bool = False) -> None:
+    import cv2
+
+    os.makedirs(out_dp, exist_ok=True)
+    common.save_video_mp4(os.path.join(out_dp, f"{name}.mp4"), video01,
+                          fps=fps)
+    if save_frames:
+        frames_dp = os.path.join(out_dp, name)
+        os.makedirs(frames_dp, exist_ok=True)
+        for i, frame in enumerate(video01):
+            arr = (np.clip(frame, 0, 1) * 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(frames_dp, f"{i:04d}.png"),
+                        arr[..., ::-1])
+
+
+def update_os_cpu_affinity(rank: int, num_workers: int) -> None:
+    """Pin worker processes across cores (eval_utils.py:266-285)."""
+    try:
+        import psutil
+
+        cores = list(range(psutil.cpu_count()))
+        chunk = max(1, len(cores) // max(num_workers, 1))
+        mine = cores[rank * chunk:(rank + 1) * chunk] or cores
+        psutil.Process().cpu_affinity(mine)
+    except Exception:
+        pass

@@ -1,0 +1,260 @@
+"""Benchmark evaluation with ground truth.
+
+Behavioral reference: gcd-model/scripts/test.py — deterministic controls JSONs
+freeze camera angles + frame bounds per scene (:174-271), eval pairs are
+regenerated through the *training* dataset class via set_next_example
+(:121-312), metrics are per-frame PSNR/SSIM plus visible/occluded variants
+using the RGBD-reproject mask (:346-450) and sample diversity (:453-472),
+results saved as mp4 + png + *_metrics.json (:808-876).
+
+The reference's per-GPU mp.Pool worker sharding (:1031-1092) becomes a
+`--shard i/n` argument (launch one process per host/chip).
+
+The mirror strips `kubric_valtest_controls_*.json`; when absent, controls are
+regenerated from the documented schema with a fixed RNG (--generate_controls).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts import eval_utils
+from gcd_tpu.utils.config import get_by_path, instantiate_from_config
+from gcd_tpu.utils.metrics import video_metrics, sample_diversity
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_path", type=str, required=True)
+    p.add_argument("--model_path", type=str, default="")
+    p.add_argument("--input", type=str, required=True,
+                   help="scene list txt (eval/list/kubric_test*.txt) or "
+                        "comma-separated scene indices")
+    p.add_argument("--output", type=str, default="eval_output/test")
+    p.add_argument("--controls_json", type=str, default="")
+    p.add_argument("--generate_controls", action="store_true",
+                   help="regenerate controls with a fixed RNG when the json "
+                        "is unavailable")
+    p.add_argument("--samples_per_scene", type=int, default=2)
+    p.add_argument("--num_samples", type=int, default=2,
+                   help="diffusion samples per example")
+    p.add_argument("--num_steps", type=int, default=25)
+    p.add_argument("--num_frames", type=int, default=14)
+    p.add_argument("--frame_width", type=int, default=384)
+    p.add_argument("--frame_height", type=int, default=256)
+    p.add_argument("--guider_max_scale", type=float, default=1.5)
+    p.add_argument("--guider_min_scale", type=float, default=1.0)
+    p.add_argument("--decoding_t", type=int, default=14)
+    p.add_argument("--support_ema", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--shard", type=str, default="0/1")
+    p.add_argument("--use_ema", type=int, default=0)
+    return p
+
+
+def parse_scene_list(spec: str):
+    """Scene list file with paths like .../scn02900, or indices."""
+    if spec.endswith(".txt"):
+        with open(spec) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        out = []
+        for ln in lines:
+            base = os.path.basename(ln.rstrip("/"))
+            if base.startswith("scn"):
+                out.append(int(base[3:]))
+            elif base.startswith("scene_"):
+                out.append(base)
+            else:
+                out.append(ln)
+        return out
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        out.append(int(part) if part.isdigit() else part)
+    return out
+
+
+def generate_controls(scenes, samples_per_scene: int, bundle, seed: int = 4):
+    """Deterministic control generation following the schema of
+    kubric_valtest_controls_*.json (test.py:176-191): per scene,
+    sample_XX: {spherical_start[3], spherical_end[3], frame_start, frame_skip}."""
+    rng = np.random.default_rng(seed)
+    tc = bundle.train_config or {}
+    dp = get_by_path(tc, "data.params", {}) or {}
+    az_range = dp.get("azimuth_range", [0.0, 360.0])
+    el_range = dp.get("elevation_range", [0.0, 50.0])
+    r_range = dp.get("radius_range", [12.0, 18.0])
+    d_az = dp.get("delta_azimuth_range", bundle.delta_azimuth_range)
+    d_el = dp.get("delta_elevation_range", bundle.delta_elevation_range)
+    d_r = dp.get("delta_radius_range", bundle.delta_radius_range)
+    avail = int(dp.get("avail_frames", 60))
+    tcm = int(dp.get("model_frames", 14))
+
+    controls = {}
+    for scene in scenes:
+        sd = {}
+        for i in range(samples_per_scene):
+            az_s = rng.uniform(*az_range)
+            el_s = rng.uniform(*el_range)
+            r_s = rng.uniform(*r_range)
+            az_e = az_s + rng.uniform(*d_az)
+            el_e = float(np.clip(el_s + rng.uniform(*d_el), *el_range))
+            r_e = float(np.clip(r_s + rng.uniform(*d_r), *r_range))
+            frame_skip = int(rng.integers(1, max(avail // tcm, 1) + 1))
+            cover = frame_skip * (tcm - 1) + 1
+            frame_start = int(rng.integers(0, max(avail - cover, 0) + 1))
+            sd[f"sample_{i:02d}"] = {
+                "spherical_start": [float(az_s), float(el_s), float(r_s)],
+                "spherical_end": [float(az_e), float(el_e), float(r_e)],
+                "frame_start": frame_start,
+                "frame_skip": frame_skip,
+            }
+        controls[str(scene)] = sd
+    return controls
+
+
+def build_eval_dataset(bundle, args):
+    """Instantiate the *training* dataset class in deterministic eval mode
+    (test.py:121-312)."""
+    tc = bundle.train_config
+    assert tc is not None, "need a train config to rebuild the data pipeline"
+    data_cfg = dict(tc["data"])
+    params = dict(data_cfg.get("params", {}))
+    params["frame_width"] = args.frame_width
+    params["frame_height"] = args.frame_height
+    module = instantiate_from_config({"target": data_cfg["target"],
+                                      "params": params})
+    dset = module.val_dataset
+    dset.reproject_rgbd = True  # enables the occlusion-mask baseline
+    return dset
+
+
+def process_example(bundle, args, dset, scene, control, key, out_dp,
+                    tag: str):
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(scene, int):
+        # Kubric: [scene_idx, frame_skip, frame_start, reverse, az_s, az_e,
+        # el_s, el_e, r_s, r_e]
+        ss, se = control["spherical_start"], control["spherical_end"]
+        dset.set_next_example(
+            scene, control["frame_skip"], control["frame_start"], False,
+            ss[0], se[0], ss[1], se[1], ss[2], se[2])
+    else:
+        dset.set_next_example(0, scene, control["frame_skip"],
+                              control["frame_start"], False)
+
+    t0 = time.time()
+    example = dset[0]
+    print(f"  data render: {time.time() - t0:.1f}s")
+
+    from gcd_tpu.data.loader import collate_fn
+
+    batch_np = collate_fn([example])
+    batch = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+             for k, v in batch_np.items()}
+
+    gt = (np.asarray(batch_np["jpg"]) + 1.0) / 2.0
+    reproject = None
+    if "reproject" in batch_np:
+        reproject = (np.asarray(batch_np["reproject"]) + 1.0) / 2.0
+
+    engine = bundle.engine
+    samples = []
+    for s in range(args.num_samples):
+        t0 = time.time()
+        out = engine.sample_video(bundle.params, batch,
+                                  jax.random.fold_in(key, s),
+                                  decoding_t=args.decoding_t)
+        samples.append(np.asarray(out["sampled_video"]))
+        print(f"  sample {s}: {time.time() - t0:.1f}s")
+
+    per_sample = [video_metrics(s, gt, reproject) for s in samples]
+    metrics = {k: float(np.mean([m[k] for m in per_sample]))
+               for k in per_sample[0]}
+    metrics["diversity_std"] = sample_diversity(samples)
+    metrics["scene"] = str(scene)
+    metrics["control"] = control
+
+    cond = np.asarray(out["cond_video"])
+    rows = [cond, samples[0], gt]
+    if reproject is not None:
+        rows.append(reproject)
+    gallery = np.concatenate(rows, axis=1)
+    eval_utils.write_video_and_frames(out_dp, f"{tag}_gallery", gallery)
+    for s, samp in enumerate(samples):
+        eval_utils.write_video_and_frames(out_dp, f"{tag}_out{s}", samp)
+    with open(os.path.join(out_dp, f"{tag}_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    return metrics
+
+
+def main(argv=None):
+    import jax
+
+    args = get_parser().parse_args(argv)
+    key = jax.random.PRNGKey(args.seed)
+
+    bundle = eval_utils.load_model_bundle(
+        args.config_path, args.model_path, support_ema=bool(args.support_ema),
+        num_steps=args.num_steps, num_frames=args.num_frames,
+        max_scale=args.guider_max_scale, min_scale=args.guider_min_scale,
+        img_hw=(args.frame_height, args.frame_width), verbose=True)
+
+    scenes = parse_scene_list(args.input)
+    shard_i, shard_n = map(int, args.shard.split("/"))
+    scenes = scenes[shard_i::shard_n]
+
+    if args.controls_json and os.path.exists(args.controls_json):
+        with open(args.controls_json) as f:
+            controls = json.load(f)
+    else:
+        if not args.generate_controls:
+            print("No controls json found; regenerating deterministically "
+                  "(pass --controls_json to use the official file).")
+        controls = generate_controls(scenes, args.samples_per_scene, bundle,
+                                     seed=4)
+
+    dset = build_eval_dataset(bundle, args)
+    out_dp = os.path.join(args.output, bundle.model_name)
+    os.makedirs(out_dp, exist_ok=True)
+
+    all_metrics = []
+    for i, scene in enumerate(scenes):
+        scene_controls = controls.get(str(scene), {})
+        for sample_name, control in sorted(scene_controls.items()):
+            tag = f"{scene}_{sample_name}"
+            print(f"[{i + 1}/{len(scenes)}] {tag}")
+            try:
+                m = process_example(bundle, args, dset, scene, control,
+                                    jax.random.fold_in(key, len(all_metrics)),
+                                    out_dp, tag)
+                all_metrics.append(m)
+                print(f"  PSNR {m['psnr']:.2f} dB  SSIM {m['ssim']:.3f}")
+            except Exception as e:
+                print(f"  failed: {e}")
+
+    if all_metrics:
+        summary = {
+            k: float(np.nanmean([m[k] for m in all_metrics]))
+            for k in all_metrics[0]
+            if isinstance(all_metrics[0][k], (int, float))
+        }
+    else:
+        summary = {}
+    with open(os.path.join(out_dp, "summary_metrics.json"), "w") as f:
+        json.dump({"summary": summary, "examples": all_metrics}, f, indent=2)
+    print(f"Summary over {len(all_metrics)} examples: {summary}")
+
+
+if __name__ == "__main__":
+    main()
