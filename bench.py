@@ -67,11 +67,15 @@ def build_sampler_fn():
             image_only_indicator=jnp.zeros((2, T)),
         )
     )
-    # Zero weights in bf16 (production serving precision): compute cost is
-    # identical to converted weights.
-    uparams = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes
-    )
+    # Random bf16 weights (production serving precision): zeros weights were
+    # observed to perturb timing on this runtime; random matches converted
+    # checkpoints' compute exactly.
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    uparams = jax.tree_util.tree_unflatten(treedef, [
+        jax.random.normal(k, l.shape, jnp.bfloat16) * 0.02
+        for k, l in zip(keys, leaves)
+    ])
 
     decoder = VideoDecoder(
         ch=128, ch_mult=[1, 2, 4, 4], num_res_blocks=2, attn_resolutions=[],
@@ -82,9 +86,12 @@ def build_sampler_fn():
         lambda: decoder.init(jax.random.PRNGKey(0),
                              jnp.zeros((T, HL, WL, 4), jnp.bfloat16), timesteps=T)
     )
-    dparams = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, jnp.bfloat16), dshapes
-    )
+    dleaves, dtreedef = jax.tree_util.tree_flatten(dshapes)
+    dkeys = jax.random.split(jax.random.PRNGKey(2), len(dleaves))
+    dparams = jax.tree_util.tree_unflatten(dtreedef, [
+        jax.random.normal(k, l.shape, jnp.bfloat16) * 0.02
+        for k, l in zip(dkeys, dleaves)
+    ])
 
     ioi2 = jnp.zeros((2, T))
 

@@ -193,6 +193,19 @@ class DiffusionEngine:
         if self.ablate_unet_scratch:
             sd = {k: v for k, v in sd.items() if "diffusion" not in k.lower()}
 
+        if self.ckpt_has_ema:
+            # Evaluate with the EMA shadow weights, matching the reference's
+            # ema_scope('Testing') (diffusion.py:387-405, scripts/test.py:1012):
+            # overlay the recovered EMA tensors onto the live UNet keys.
+            from gcd_tpu.io.convert import extract_ema_state_dict
+
+            ema_sd = extract_ema_state_dict(sd)
+            if ema_sd:
+                if verbose:
+                    print(f"Using {len(ema_sd)} EMA shadow tensors for the UNet")
+                sd = dict(sd)
+                sd.update(ema_sd)
+
         def clip_rename(key: str) -> str:
             key = key.replace("open_clip.visual.", "open_clip.model.visual.")
             key = key.replace(".visual.resblocks.", ".visual.transformer.resblocks.")
@@ -407,6 +420,34 @@ class DiffusionEngine:
         if "jpg" in batch:
             out["gt_video"] = jnp.clip((batch["jpg"] + 1.0) / 2.0, 0.0, 1.0)
         return out
+
+    # ------------------------------------------------------------------
+    # Validation (diffusion.py:317-364: LPIPS/PSNR/SSIM on sampled videos;
+    # the shipped configs disable val, but the capability is part of the
+    # engine surface)
+    # ------------------------------------------------------------------
+
+    def validation_metrics(self, params, batch: Dict, key: jax.Array,
+                           lpips_params=None,
+                           decoding_t: Optional[int] = None) -> Dict:
+        from gcd_tpu.utils.metrics import psnr, ssim
+
+        out = self.sample_video(params, batch, key, decoding_t=decoding_t)
+        pred = np.asarray(out["sampled_video"])
+        gt = np.asarray(out["gt_video"])
+        metrics = {
+            "val/psnr": float(np.mean([psnr(p, g) for p, g in zip(pred, gt)])),
+            "val/ssim": float(np.mean([ssim(p, g) for p, g in zip(pred, gt)])),
+        }
+        if lpips_params is not None:
+            from gcd_tpu.models.lpips import LPIPS
+
+            model = LPIPS()
+            d = model.apply({"params": lpips_params},
+                            jnp.asarray(pred) * 2.0 - 1.0,
+                            jnp.asarray(gt) * 2.0 - 1.0)
+            metrics["val/lpips"] = float(jnp.mean(d))
+        return metrics
 
     # ------------------------------------------------------------------
     # Fine-tune strategies (diffusion.py:126-170)

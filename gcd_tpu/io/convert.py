@@ -223,3 +223,28 @@ def convert_state_dict_to_params(
         _set_in_tree(params, path, arr)
         used.append(key)
     return params, missing, used
+
+
+def extract_ema_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Recover EMA weights stored by LitEma (sgm/modules/ema.py): shadow
+    buffers live under `model_ema.` with dots stripped from the original
+    parameter names. Returns a state dict re-keyed as `model.diffusion_model.*`
+    so the normal converter can consume it; empty if the ckpt has no EMA."""
+    prefix = "model_ema."
+    ema_keys = [k for k in sd if k.startswith(prefix)]
+    if not ema_keys:
+        return {}
+    # Build the inverse of the dot-stripping using the live model keys.
+    model_keys = [k for k in sd if k.startswith("model.diffusion_model.")]
+    flat_to_orig = {
+        k[len("model."):].replace(".", ""): k for k in model_keys
+    }
+    out = {}
+    for k in ema_keys:
+        flat = k[len(prefix):]
+        if flat in ("num_updates", "decay"):
+            continue
+        orig = flat_to_orig.get(flat)
+        if orig is not None:
+            out[orig] = sd[k]
+    return out

@@ -299,3 +299,146 @@ class GeneralConditioner(nn.Module):
             train=False,
         )
         return c, uc
+
+
+# ---------------------------------------------------------------------------
+# Additional embedders present in the reference but unused by GCD configs
+# (SURVEY.md section 2.1 "Other embedders"). Implemented for API completeness.
+# ---------------------------------------------------------------------------
+
+
+@register("sgm.modules.encoders.modules.ClassEmbedder")
+class ClassEmbedder(nn.Module):
+    """Class-id embedding table (modules.py:298-318)."""
+
+    embed_dim: int
+    n_classes: int = 1000
+    add_sequence_dim: bool = False
+
+    @nn.compact
+    def __call__(self, c: jnp.ndarray) -> jnp.ndarray:
+        emb = nn.Embed(self.n_classes, self.embed_dim, name="embedding")(
+            c.astype(jnp.int32)
+        )
+        if self.add_sequence_dim:
+            emb = emb[:, None, :]
+        return emb
+
+    def get_unconditional_conditioning_value(self):
+        return self.n_classes - 1
+
+
+@register("sgm.modules.encoders.modules.SpatialRescaler")
+class SpatialRescaler(nn.Module):
+    """Multi-stage rescaler with optional channel remap (modules.py:846-903);
+    NHWC."""
+
+    n_stages: int = 1
+    method: str = "bilinear"
+    multiplier: float = 0.5
+    in_channels: int = 3
+    out_channels: Optional[int] = None
+    bias: bool = False
+    wrap_video: bool = False
+    kernel_size: int = 1
+    remap_output: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        method = {"bilinear": "linear", "trilinear": "linear",
+                  "area": "linear"}.get(self.method, self.method)
+        b_t_shape = None
+        if self.wrap_video and x.ndim == 5:
+            b, t = x.shape[:2]
+            b_t_shape = (b, t)
+            x = x.reshape((b * t,) + x.shape[2:])
+        for _ in range(self.n_stages):
+            n, h, w, c = x.shape
+            x = jax.image.resize(
+                x, (n, int(h * self.multiplier), int(w * self.multiplier), c),
+                method=method)
+        if self.out_channels is not None or self.remap_output:
+            pad = self.kernel_size // 2
+            x = nn.Conv(self.out_channels or x.shape[-1],
+                        (self.kernel_size, self.kernel_size),
+                        padding=((pad, pad), (pad, pad)),
+                        use_bias=self.bias, name="channel_mapper")(x)
+        if b_t_shape is not None:
+            x = x.reshape(b_t_shape + x.shape[1:])
+        return x
+
+
+@register("sgm.modules.encoders.modules.GaussianEncoder")
+class GaussianEncoder(nn.Module):
+    """VAE encoder + sampled diagonal-gaussian posterior (modules.py:1019-1036)."""
+
+    weight: float = 1.0
+    flatten_output: bool = True
+    ddconfig: Optional[Dict] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from gcd_tpu.models.vae import Encoder as VAEEnc
+
+        dd = {k: v for k, v in (self.ddconfig or {}).items()
+              if k not in ("attn_type", "lossconfig")}
+        moments = VAEEnc(**dd, dtype=self.dtype, name="encoder")(x)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+        z = mean + std * jax.random.normal(
+            self.make_rng("gaussian"), mean.shape, dtype=mean.dtype)
+        if self.flatten_output:
+            n, h, w, c = z.shape
+            z = z.reshape(n, h * w, c)
+        return z
+
+
+class _UnavailableTextEmbedder(nn.Module):
+    """Text towers (T5/CLIP-text) — present in the reference but unused by any
+    GCD config (SURVEY.md section 2.1); their pretrained weights are not
+    shipped in this environment. Instantiation succeeds (config parity);
+    calling raises with a clear message."""
+
+    version: str = ""
+    device: str = "tpu"
+    max_length: int = 77
+    freeze: bool = True
+    layer: str = "last"
+    layer_idx: Optional[int] = None
+    always_return_pooled: bool = False
+    legacy: bool = True
+
+    def __call__(self, text):
+        raise NotImplementedError(
+            f"{type(self).__name__} is not used by any GCD config and its "
+            "pretrained text-tower weights are unavailable in this "
+            "environment. Wire a converted checkpoint through "
+            "gcd_tpu.io.convert and implement the tower (see models/clip.py "
+            "for the vision-tower pattern) if a config needs it."
+        )
+
+
+@register("sgm.modules.encoders.modules.FrozenT5Embedder")
+class FrozenT5Embedder(_UnavailableTextEmbedder):
+    pass
+
+
+@register("sgm.modules.encoders.modules.FrozenByT5Embedder")
+class FrozenByT5Embedder(_UnavailableTextEmbedder):
+    pass
+
+
+@register("sgm.modules.encoders.modules.FrozenCLIPEmbedder")
+class FrozenCLIPEmbedder(_UnavailableTextEmbedder):
+    pass
+
+
+@register("sgm.modules.encoders.modules.FrozenOpenCLIPEmbedder")
+class FrozenOpenCLIPEmbedder(_UnavailableTextEmbedder):
+    pass
+
+
+@register("sgm.modules.encoders.modules.FrozenOpenCLIPEmbedder2")
+class FrozenOpenCLIPEmbedder2(_UnavailableTextEmbedder):
+    pass

@@ -25,24 +25,39 @@ def zeros_init():
     return nn.initializers.zeros
 
 
+class _NormParams(nn.Module):
+    """Scale/bias holder nested under name "norm" so the torch->flax key map
+    (io/convert.py) is identical whether the fused or unfused path runs."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm(32 groups) computed in fp32 regardless of activation dtype."""
+    """GroupNorm(32 groups) computed in fp32 regardless of activation dtype,
+    with an optional fused SiLU epilogue. On TPU this dispatches to the Pallas
+    fused kernel (ops/fused_norm.py) when the block fits VMEM."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    silu: bool = False
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        orig_dtype = x.dtype
-        out = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=self.param_dtype,
-            name="norm",
-        )(x.astype(jnp.float32))
-        return out.astype(orig_dtype)
+        from gcd_tpu.ops.fused_norm import group_norm_silu
+
+        scale, bias = _NormParams(x.shape[-1], self.param_dtype, name="norm")()
+        return group_norm_silu(x, scale, bias, self.num_groups, self.epsilon,
+                               self.silu)
 
 
 class LayerNormFp32(nn.Module):

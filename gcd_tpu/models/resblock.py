@@ -93,8 +93,7 @@ class ResBlock(nn.Module):
         ks = tuple(ks)
         pad = _pad_for_kernel(ks)
 
-        h = GroupNorm32(name="in_layers_0")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(silu=True, name="in_layers_0")(x)
         if self.up:
             h = Upsample(use_conv=False, dtype=self.dtype, name="h_upd")(h)
             x = Upsample(use_conv=False, dtype=self.dtype, name="x_upd")(x)
@@ -122,8 +121,7 @@ class ResBlock(nn.Module):
             h = nn.silu(h)
         else:
             h = h + emb_out.astype(h.dtype)
-            h = GroupNorm32(name="out_layers_0")(h)
-            h = nn.silu(h)
+            h = GroupNorm32(silu=True, name="out_layers_0")(h)
         h = nn.Conv(
             out_ch, ks, padding=pad, kernel_init=nn.initializers.zeros,
             dtype=self.dtype, name="out_layers_3",

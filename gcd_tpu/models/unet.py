@@ -262,8 +262,7 @@ class VideoUNet(nn.Module):
                 block_idx += 1
 
         # --- out head -------------------------------------------------------
-        h = GroupNorm32(name="out_0")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(silu=True, name="out_0")(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
             kernel_init=nn.initializers.zeros, dtype=self.dtype, name="out_2",

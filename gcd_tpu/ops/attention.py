@@ -40,6 +40,13 @@ def _xla_attention(
     return out.astype(v.dtype)
 
 
+def _is_tpu_backend() -> bool:
+    """True for real TPUs and TPU-tunnel plugins (the axon plugin reports
+    platform 'axon' while driving a physical TPU chip)."""
+    backend = jax.default_backend()
+    return backend in ("tpu", "axon")
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -54,7 +61,7 @@ def dot_product_attention(
     """
     if use_flash is None:
         use_flash = (
-            jax.default_backend() == "tpu"
+            _is_tpu_backend()
             and q.shape[1] >= 512
             and q.shape[1] == k.shape[1]
             and q.shape[-1] in (64, 128)

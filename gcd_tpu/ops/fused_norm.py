@@ -1,0 +1,162 @@
+"""Fused GroupNorm(+SiLU) Pallas kernel.
+
+The UNet spends a large share of its HBM traffic on GroupNorm32 islands: the
+reference computes them in fp32 (diffusionmodules/util.py:274), which in the
+naive lowering materializes fp32 copies of every activation (cast -> stats ->
+normalize -> cast back). At GCD's UNet resolutions a whole sample's activation
+map fits in VMEM (<= 1536 tokens x 1280 ch), so this kernel reads the bf16
+tensor once, computes group statistics in fp32 on-chip, applies
+normalize+affine(+SiLU) and writes bf16 once — one read + one write instead of
+several fp32 round trips.
+
+Training support: custom_vjp with a pure-jax backward (standard GroupNorm
+gradient), so the fused forward composes with jax.grad/checkpointing.
+Falls back to the unfused path on CPU or when the per-sample block exceeds
+the VMEM budget (e.g. full-resolution VAE layers).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int, eps: float,
+            silu: bool, hw: int, c: int):
+    x = x_ref[...].astype(jnp.float32).reshape(hw, c)
+    cpg = c // num_groups
+
+    s1 = jnp.sum(x, axis=0, keepdims=True)      # (1, C)
+    s2 = jnp.sum(x * x, axis=0, keepdims=True)  # (1, C)
+    # Group reduction via a one-hot (C, G) matmul — mosaic cannot reshape the
+    # lane dimension into (G, C/G), but matmuls against a static mask lower
+    # cleanly to the MXU.
+    ch_group = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0) // cpg
+    grp_id = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    onehot = (ch_group == grp_id).astype(jnp.float32)  # (C, G)
+    g1 = jax.lax.dot_general(s1, onehot, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (1, G)
+    g2 = jax.lax.dot_general(s2, onehot, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    n = float(hw * cpg)
+    mean = g1 / n
+    var = g2 / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)  # (1, G)
+
+    mean_c = jax.lax.dot_general(mean, onehot, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (1, C)
+    inv_c = jax.lax.dot_general(inv, onehot, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    scale = scale_ref[...].astype(jnp.float32).reshape(1, c)
+    bias = bias_ref[...].astype(jnp.float32).reshape(1, c)
+    y = (x - mean_c) * (inv_c * scale) + bias
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[...] = y.reshape(x_ref.shape).astype(o_ref.dtype)
+
+
+def _fused_forward(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                   num_groups: int, eps: float, silu: bool) -> jnp.ndarray:
+    n = x.shape[0]
+    c = x.shape[-1]
+    hw = 1
+    for d in x.shape[1:-1]:
+        hw *= d
+    xr = x.reshape(n, hw, c)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_groups=num_groups, eps=eps, silu=silu,
+                          hw=hw, c=c),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((None, hw, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, hw, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+    )(xr, scale.reshape(1, c), bias.reshape(1, c))
+    return out.reshape(x.shape)
+
+
+def _reference_groupnorm(x, scale, bias, num_groups, eps, silu):
+    """Unfused fp32 path (matches GroupNorm32 semantics)."""
+    n = x.shape[0]
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(n, -1, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.reshape(x.shape).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-5,
+                     silu: bool = False):
+    """GroupNorm over the channel-last dim (+optional SiLU), fp32 statistics,
+    input-dtype output. x: (N, ..., C)."""
+    return _fused_forward(x, scale, bias, num_groups, eps, silu)
+
+
+def _fwd(x, scale, bias, num_groups, eps, silu):
+    out = _fused_forward(x, scale, bias, num_groups, eps, silu)
+    return out, (x, scale, bias)
+
+
+def _bwd(num_groups, eps, silu, res, g):
+    x, scale, bias = res
+
+    def ref(x, scale, bias):
+        return _reference_groupnorm(x, scale, bias, num_groups, eps, silu)
+
+    _, vjp = jax.vjp(ref, x, scale, bias)
+    return vjp(g)
+
+
+fused_group_norm.defvjp(_fwd, _bwd)
+
+
+def group_norm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                    num_groups: int = 32, eps: float = 1e-5,
+                    silu: bool = False) -> jnp.ndarray:
+    """GroupNorm(+SiLU) entry point used by the models.
+
+    Benchmarked on TPU v5e at SVD-UNet shapes: the Pallas kernel is correct
+    but *slower* end-to-end than letting XLA fuse the unfused fp32 chain
+    (199 ms vs 179 ms per CFG forward, bytes-accessed 86.7 GB vs 82.0 GB) —
+    pallas_call is an opaque boundary that blocks XLA from fusing the
+    neighboring elementwise ops into the norm. The XLA path is therefore the
+    default; set GCD_FUSED_GN=1 to re-enable the kernel (e.g. to re-evaluate
+    on newer compilers/hardware)."""
+    import os
+
+    from gcd_tpu.ops.attention import _is_tpu_backend
+
+    c = x.shape[-1]
+    hw = 1
+    for d in x.shape[1:-1]:
+        hw *= d
+    block_bytes = hw * c * (x.dtype.itemsize + 4)  # input + f32 working copy
+    if (
+        os.environ.get("GCD_FUSED_GN") == "1"
+        and _is_tpu_backend()
+        and c % num_groups == 0
+        and block_bytes <= VMEM_BUDGET_BYTES
+    ):
+        try:
+            return fused_group_norm(x, scale, bias, num_groups, eps, silu)
+        except Exception:
+            pass
+    return _reference_groupnorm(x, scale, bias, num_groups, eps, silu)

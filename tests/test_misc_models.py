@@ -1,0 +1,80 @@
+"""Tests for auxiliary models: LPIPS structure, extra embedders, metrics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcd_tpu.models.lpips import LPIPS, VGG_STAGES
+from gcd_tpu.models.embedders import ClassEmbedder, SpatialRescaler
+from gcd_tpu.utils.metrics import psnr, ssim, masked_ssim, miou, rgb_to_class_ids
+
+
+def test_lpips_structure_and_basic_properties(key):
+    model = LPIPS()
+    a = jax.random.uniform(key, (2, 32, 32, 3)) * 2 - 1
+    b = a + 0.3 * jax.random.normal(jax.random.fold_in(key, 1), a.shape)
+
+    @jax.jit
+    def run(key):
+        params = model.init(key, a, b)
+        same = model.apply(params, a, a)
+        diff = model.apply(params, a, b)
+        return same, diff
+
+    same, diff = run(key)
+    assert same.shape == (2,)
+    np.testing.assert_allclose(np.asarray(same), 0.0, atol=1e-5)
+    assert (np.asarray(diff) > 0).all()
+
+
+def test_class_embedder(key):
+    emb = ClassEmbedder(embed_dim=16, n_classes=10)
+    params = emb.init(key, jnp.zeros((4,), jnp.int32))
+    out = emb.apply(params, jnp.asarray([1, 2, 3, 9]))
+    assert out.shape == (4, 16)
+    assert emb.get_unconditional_conditioning_value() == 9
+
+
+def test_spatial_rescaler(key):
+    r = SpatialRescaler(n_stages=2, multiplier=0.5, out_channels=8)
+    x = jnp.ones((2, 32, 32, 3))
+    params = r.init(key, x)
+    out = r.apply(params, x)
+    assert out.shape == (2, 8, 8, 8)
+
+
+def test_text_embedders_raise_clearly():
+    from gcd_tpu.models.embedders import FrozenT5Embedder
+
+    t5 = FrozenT5Embedder()
+    with pytest.raises(NotImplementedError, match="not used by any GCD config"):
+        t5(["hello"])
+
+
+def test_psnr_ssim_sanity():
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    assert psnr(a, a) == float("inf")
+    assert abs(ssim(a, a) - 1.0) < 1e-6
+    noisy = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+    p = psnr(a, noisy)
+    assert 15 < p < 25
+    assert 0 < ssim(a, noisy) < 1
+    mask = np.zeros((32, 32), bool)
+    mask[:16] = True
+    m1 = masked_ssim(a, noisy, mask)
+    m2 = masked_ssim(a, noisy, ~mask)
+    assert 0 < m1 < 1 and 0 < m2 < 1
+
+
+def test_miou_and_color_matching():
+    colors = np.array([[0, 0, 0], [1.0, 0, 0], [0, 1.0, 0]])
+    img = np.zeros((4, 4, 3), np.float32)
+    img[:2] = [1.0, 0, 0]
+    ids = rgb_to_class_ids(img, colors)
+    assert (ids[:2] == 1).all() and (ids[2:] == 0).all()
+    assert miou(ids, ids) == 1.0
+    pred = ids.copy()
+    pred[0] = 0  # half of class-1 rows mislabeled
+    assert 0 < miou(pred, ids) < 1.0
