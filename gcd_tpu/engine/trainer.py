@@ -59,10 +59,19 @@ def create_train_state(
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     opt = make_optimizer(engine, params, learning_rate, schedule_fn,
                          accumulate_steps)
-    opt_state = opt.init(params)
-    ema = ema_init(params["model"], engine.ema_decay_rate) if engine.use_ema else None
-    return TrainState(params=params, opt_state=opt_state,
-                      step=jnp.zeros((), jnp.int32), ema=ema), opt
+
+    # Build the state *inside* jit: eagerly-initialized buffers carry default
+    # layouts that differ from the layouts the jitted train step emits, which
+    # silently doubles the first compile (step 1 recompiles against the
+    # donated outputs' layouts). A jitted init produces layout-stable buffers.
+    @jax.jit
+    def init_state(params):
+        ema = (ema_init(params["model"], engine.ema_decay_rate)
+               if engine.use_ema else None)
+        return TrainState(params=params, opt_state=opt.init(params),
+                          step=jnp.zeros((), jnp.int32), ema=ema)
+
+    return init_state(params), opt
 
 
 def train_step(
@@ -97,8 +106,26 @@ def train_step(
 
 def make_jitted_train_step(engine: DiffusionEngine, opt, mesh=None,
                            donate: bool = True):
+    """Jit the step with output shardings pinned to the *input* state's
+    shardings — otherwise step 0 returns jit-chosen shardings and step 1
+    recompiles the whole program against the new layout."""
     step_fn = functools.partial(train_step, engine, opt)
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    donate_args = (0,) if donate else ()
+    cache = {}
+
+    def wrapper(state, batch, key):
+        if "fn" not in cache:
+            try:
+                state_shardings = jax.tree_util.tree_map(
+                    lambda x: x.sharding, state)
+                cache["fn"] = jax.jit(
+                    step_fn, donate_argnums=donate_args,
+                    out_shardings=(state_shardings, None))
+            except Exception:
+                cache["fn"] = jax.jit(step_fn, donate_argnums=donate_args)
+        return cache["fn"](state, batch, key)
+
+    return wrapper
 
 
 def setup_sharded_training(

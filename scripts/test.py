@@ -95,7 +95,15 @@ def generate_controls(scenes, samples_per_scene: int, bundle, seed: int = 4):
     d_az = dp.get("delta_azimuth_range", bundle.delta_azimuth_range)
     d_el = dp.get("delta_elevation_range", bundle.delta_elevation_range)
     d_r = dp.get("delta_radius_range", bundle.delta_radius_range)
-    avail = int(dp.get("avail_frames", 60))
+    data_target = str(get_by_path(tc, "data.target", ""))
+    if "pardom" in data_target:
+        # PD has exactly 50 frames at 10 fps; skip is 1 or 2
+        # (pardom_arbit.py:202, avail_frames hardcoded).
+        avail = 50
+        max_skip = 2
+    else:
+        avail = int(dp.get("avail_frames", 60))
+        max_skip = None
     tcm = int(dp.get("model_frames", 14))
 
     controls = {}
@@ -108,9 +116,10 @@ def generate_controls(scenes, samples_per_scene: int, bundle, seed: int = 4):
             az_e = az_s + rng.uniform(*d_az)
             el_e = float(np.clip(el_s + rng.uniform(*d_el), *el_range))
             r_e = float(np.clip(r_s + rng.uniform(*d_r), *r_range))
-            frame_skip = int(rng.integers(1, max(avail // tcm, 1) + 1))
+            skip_hi = max_skip if max_skip is not None else max(avail // tcm, 1)
+            frame_skip = int(rng.integers(1, skip_hi + 1))
             cover = frame_skip * (tcm - 1) + 1
-            frame_start = int(rng.integers(0, max(avail - cover, 0) + 1))
+            frame_start = int(rng.integers(0, max(avail - cover - 1, 0) + 1))
             sd[f"sample_{i:02d}"] = {
                 "spherical_start": [float(az_s), float(el_s), float(r_s)],
                 "spherical_end": [float(az_e), float(el_e), float(r_e)],
@@ -182,6 +191,20 @@ def process_example(bundle, args, dset, scene, control, key, out_dp,
     metrics = {k: float(np.mean([m[k] for m in per_sample]))
                for k in per_sample[0]}
     metrics["diversity_std"] = sample_diversity(samples)
+
+    # Semantic output head: mIoU by matching rendered colors back to the
+    # ontology palette (README 'Pretrained Models' mIoU protocol).
+    if getattr(dset, "output_modality", "rgb") == "segm":
+        from gcd_tpu.utils.metrics import miou, rgb_to_class_ids
+
+        palette = np.asarray(dset.ontology["semantic_id_rgb_map"])
+        ious = []
+        for s in samples:
+            for i in range(s.shape[0]):
+                pred_ids = rgb_to_class_ids(s[i], palette)
+                gt_ids = rgb_to_class_ids(gt[i], palette)
+                ious.append(miou(pred_ids, gt_ids))
+        metrics["miou"] = float(np.nanmean(ious))
     metrics["scene"] = str(scene)
     metrics["control"] = control
 
