@@ -38,6 +38,20 @@ import jax.numpy as jnp
 # unaffected).
 _RENDER_LOCK = threading.Lock()
 
+
+def _render_device():
+    """Point-splat rendering runs on the host CPU backend whenever the default
+    backend is an accelerator — the TPU-native analogue of the reference's
+    dedicated data GPU (SURVEY.md section 2.8): input-pipeline rendering must
+    not steal cycles from the training chip. Returns None to use the default
+    device when no separate CPU backend exists."""
+    try:
+        if jax.default_backend() in ("tpu", "axon", "gpu", "cuda"):
+            return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        pass
+    return None
+
 # ---------------------------------------------------------------------------
 # Quaternions / camera matrices (numpy, host-side)
 # ---------------------------------------------------------------------------
@@ -379,7 +393,11 @@ def render_point_cloud(
     valid = np.zeros((n_pad,), dtype=bool)
     valid[:n] = True
 
-    with _RENDER_LOCK:
+    import contextlib
+
+    dev = _render_device()
+    ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+    with _RENDER_LOCK, ctx:
         img, _ = splat_points_to_image(
             jnp.asarray(xyz_p), jnp.asarray(rgb_p), jnp.asarray(valid),
             jnp.asarray(intrinsics), jnp.asarray(extrinsics),

@@ -46,6 +46,11 @@ def get_parser():
         "--cpu_devices", type=int, default=0,
         help="Force N virtual CPU devices (XLA_FLAGS is clobbered by the host "
              "sitecustomize, so this goes through jax.config)")
+    parser.add_argument(
+        "--profile_steps", type=int, default=0,
+        help="Capture a jax profiler trace (xplane) of steps 2..2+N under "
+             "<logdir>/profile — the rebuild's answer to SURVEY.md section-5's "
+             "missing tracing subsystem")
     return parser
 
 
@@ -160,7 +165,22 @@ def main(argv=None):
         k: v for k, v in img_logger_cfg.items()
         if k in ("batch_frequency", "max_images", "disabled", "log_first_step")
     })
+    # WandbLogger when requested + importable, CSV fallback (main.py:760-801).
     csv_logger = CSVLogger(logdir)
+    wandb_run = None
+    if opt.wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project=opt.projectname, name=nowname,
+                                   dir=logdir, config=config)
+        except ImportError:
+            print("wandb requested but not installed; using CSV logger only")
+
+    def log_metrics(metrics: dict):
+        csv_logger.log(metrics)
+        if wandb_run is not None:
+            wandb_run.log(metrics, step=metrics.get("step"))
 
     # ---- LR scaling (main.py:956-966) ------------------------------------
     n_devices = len(jax.devices())
@@ -226,6 +246,12 @@ def main(argv=None):
             if done:
                 break
             for batch_np in loader:
+                if opt.profile_steps > 0 and global_step == 2:
+                    jax.profiler.start_trace(os.path.join(logdir, "profile"))
+                if opt.profile_steps > 0 and global_step == 2 + opt.profile_steps:
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {logdir}/profile")
+                    opt.profile_steps = 0
                 step_t0 = time.time()
                 batch = {
                     k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
@@ -241,7 +267,7 @@ def main(argv=None):
                     dt = time.time() - step_t0
                     print(f"step {global_step} epoch {epoch} "
                           f"loss {loss:.4f} ({dt:.2f}s/it)")
-                csv_logger.log({
+                log_metrics({
                     "step": global_step, "epoch": epoch, "loss": loss,
                     "grad_norm": float(metrics["grad_norm"]), "lr": lr,
                 })

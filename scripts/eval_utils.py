@@ -75,14 +75,18 @@ def shorten_model_name(model_path: str) -> str:
 def load_model_bundle(config_path: str, model_path: str, support_ema: bool = False,
                       num_steps: int = 25, num_frames: int = 14,
                       max_scale: float = 1.5, min_scale: float = 1.0,
-                      img_hw=(256, 384), verbose: bool = False) -> ModelBundle:
+                      img_hw=(256, 384), compute_dtype: str = "bfloat16",
+                      verbose: bool = False) -> ModelBundle:
     """Build the engine from an inference config with the reference's config
     surgery (eval_utils.py:43-58), then load weights (torch checkpoint or
-    orbax run directory)."""
+    orbax run directory). compute_dtype=bfloat16 mirrors the reference's
+    autocast-on evaluation default (scripts/test.py:70)."""
     import jax
 
     test_config = load_config(config_path)
     set_by_path(test_config, "model.params.ckpt_path", model_path)
+    if "compute_dtype" not in (test_config["model"].get("params") or {}):
+        set_by_path(test_config, "model.params.compute_dtype", compute_dtype)
     set_by_path(test_config, "model.params.use_ema", bool(support_ema))
     set_by_path(test_config, "model.params.ckpt_has_ema", bool(support_ema))
     set_by_path(test_config, "model.params.sampler_config.params.num_steps",
@@ -148,6 +152,18 @@ def load_model_bundle(config_path: str, model_path: str, support_ema: bool = Fal
             meta["motion_bucket_range"] = (
                 list(map(int, mbr.split(","))) if isinstance(mbr, str)
                 else list(mbr))
+    if meta["camera_control"] == "none":
+        # No train config (random-init / standalone checkpoint): infer the
+        # control mode from the conditioner's embedder input keys so
+        # construct_batch still produces every key the model consumes.
+        embs = get_by_path(
+            test_config, "model.params.conditioner_config.params.emb_models",
+            []) or []
+        keys = {e.get("input_key") for e in embs}
+        if "scaled_relative_angles" in keys:
+            meta["camera_control"] = "spherical"
+        elif "scaled_relative_pose" in keys:
+            meta["camera_control"] = "relative_pose"
 
     return ModelBundle(
         engine=engine, params=params, train_config=train_config,
