@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -38,9 +39,27 @@ class CrossAttention(nn.Module):
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")
+        to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")
+        to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")
+        to_out = nn.Dense(query_dim, dtype=self.dtype, name="to_out_0")
+
+        if context is not None and context.shape[1] == 1:
+            # Exact shortcut for single-token cross-attention (SVD's CLIP
+            # image context is (B, 1, 1024)): softmax over one key is
+            # identically 1, so the output is to_out(to_v(ctx)) broadcast over
+            # the query sequence — q/k projections and the attention itself
+            # are dead compute. Params for to_q/to_k are still registered on a
+            # 1-token slice so checkpoints load identically; XLA removes the
+            # unused matmuls.
+            _ = to_q(x[:, :1])
+            _ = to_k(ctx)
+            out = to_out(to_v(ctx))  # (B, 1, query_dim)
+            return jnp.broadcast_to(out, (x.shape[0], x.shape[1], query_dim))
+
+        q = to_q(x)
+        k = to_k(ctx)
+        v = to_v(ctx)
 
         b, sq, _ = q.shape
         sk = k.shape[1]
@@ -50,6 +69,46 @@ class CrossAttention(nn.Module):
 
         out = dot_product_attention(q, k, v)
         out = out.reshape(b, sq, inner)
+        return to_out(out)
+
+
+class TemporalSelfAttention(nn.Module):
+    """Self-attention over the T frames of (B*T, S, C) tokens, kept in the
+    natural layout: projections and the output matmul run on (B*T, S, C)
+    (layout-friendly on TPU), and only the q/k/v heads are transposed to
+    (B*S, T, H, D) around the attention core. Equivalent to the reference's
+    rearrange-everything approach (video_attention.py:114) but avoids running
+    LayerNorms/FFs/projections on a transposed tensor, which measurably
+    drops them from ~160 to ~42 TFLOP/s on v5e.
+
+    Parameter names match CrossAttention so converted checkpoints are
+    indistinguishable.
+    """
+
+    heads: int = 8
+    dim_head: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, timesteps: int) -> jnp.ndarray:
+        query_dim = x.shape[-1]
+        inner = self.heads * self.dim_head
+        t = timesteps
+        bt, s, _ = x.shape
+        b = bt // t
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+
+        def to_tmaj(z):
+            z = z.reshape(b, t, s, self.heads, self.dim_head)
+            return z.transpose(0, 2, 1, 3, 4).reshape(
+                b * s, t, self.heads, self.dim_head)
+
+        out = dot_product_attention(to_tmaj(q), to_tmaj(k), to_tmaj(v))
+        out = out.reshape(b, s, t, inner).transpose(0, 2, 1, 3).reshape(
+            bt, s, inner)
         return nn.Dense(query_dim, dtype=self.dtype, name="to_out_0")(out)
 
 

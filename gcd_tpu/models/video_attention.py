@@ -13,7 +13,11 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gcd_tpu.models.attention import BasicTransformerBlock, CrossAttention
+from gcd_tpu.models.attention import (
+    BasicTransformerBlock,
+    CrossAttention,
+    TemporalSelfAttention,
+)
 from gcd_tpu.models.layers import (
     AlphaBlender,
     FeedForward,
@@ -26,7 +30,20 @@ Dtype = Any
 
 
 class VideoTransformerBlock(nn.Module):
-    """Temporal transformer block on (B*S, T, C) tokens (video_attention.py:15-140)."""
+    """Temporal transformer block (video_attention.py:15-140).
+
+    TPU-native layout: tokens stay (B*T, S, C) — the natural layout produced
+    by the spatial stack — throughout the block. LayerNorms, FeedForwards and
+    attention projections are per-token ops, so they are layout-indifferent
+    mathematically but far faster in the natural layout; only the temporal
+    self-attention core transposes its q/k/v heads (TemporalSelfAttention).
+    Temporal *cross*-attention never mixes frames (every query attends to the
+    same per-video context keys), so it runs on a free (B, T*S, C) view.
+
+    `context`, when given, is the per-video context (B, L, Ck) — NOT repeated
+    over spatial positions as in the reference (video_attention.py:250-257);
+    the repeat is a mathematical no-op here because keys are shared.
+    """
 
     n_heads: int
     d_head: int
@@ -45,8 +62,21 @@ class VideoTransformerBlock(nn.Module):
         context: Optional[jnp.ndarray] = None,
         timesteps: Optional[int] = None,
     ) -> jnp.ndarray:
-        # Caller has already rearranged to (B*S, T, C); inner_dim == dim here
-        # (SVD always uses matching dims => is_res is True).
+        t = timesteps
+        bt, s, c = x.shape
+        b = bt // t
+
+        def cross_to_context(h, name):
+            # (B*T, S, C) -> (B, T*S, C) is a free reshape; context keys are
+            # per-video so this is exactly the reference's per-pixel temporal
+            # cross-attention.
+            hv = h.reshape(b, t * s, c)
+            out = CrossAttention(
+                heads=self.n_heads, dim_head=self.d_head,
+                context_dim=self.context_dim, dtype=self.dtype, name=name,
+            )(hv, context=context)
+            return out.reshape(bt, s, out.shape[-1])
+
         if self.ff_in:
             x_skip = x
             h = LayerNormFp32(name="norm_in")(x)
@@ -54,29 +84,23 @@ class VideoTransformerBlock(nn.Module):
 
         h = LayerNormFp32(name="norm1")(x)
         if self.disable_self_attn:
-            h = CrossAttention(
-                heads=self.n_heads, dim_head=self.d_head,
-                context_dim=self.context_dim, dtype=self.dtype, name="attn1",
-            )(h, context=context)
+            h = cross_to_context(h, "attn1")
         else:
-            h = CrossAttention(
+            h = TemporalSelfAttention(
                 heads=self.n_heads, dim_head=self.d_head, dtype=self.dtype,
                 name="attn1",
-            )(h)
+            )(h, timesteps=t)
         x = h + x
 
         if not self.disable_temporal_crossattention:
             h = LayerNormFp32(name="norm2")(x)
             if self.switch_temporal_ca_to_sa:
-                h = CrossAttention(
+                h = TemporalSelfAttention(
                     heads=self.n_heads, dim_head=self.d_head, dtype=self.dtype,
                     name="attn2",
-                )(h)
+                )(h, timesteps=t)
             else:
-                h = CrossAttention(
-                    heads=self.n_heads, dim_head=self.d_head,
-                    context_dim=self.context_dim, dtype=self.dtype, name="attn2",
-                )(h, context=context)
+                h = cross_to_context(h, "attn2")
             x = h + x
 
         x_skip = x
@@ -122,12 +146,11 @@ class SpatialVideoTransformer(nn.Module):
         spatial_context = context
         if self.use_spatial_context:
             assert context is not None and context.ndim == 3
-            # One context row per video (frame 0), repeated per spatial location:
-            # (B*T, L, Ck) -> (B, L, Ck) -> (B*S, L, Ck)  (video_attention.py:250-257)
-            tc = context[::t]
-            time_context = jnp.repeat(tc, s, axis=0)
+            # One context row per video (frame 0). The reference repeats this
+            # per spatial location (video_attention.py:250-257); here the
+            # temporal block attends to per-video keys directly, so no repeat.
+            time_context = context[::t]
         elif time_context is not None:
-            time_context = jnp.repeat(time_context, s, axis=0)
             if time_context.ndim == 2:
                 time_context = time_context[:, None, :]
 
@@ -164,12 +187,8 @@ class SpatialVideoTransformer(nn.Module):
                 name=f"transformer_blocks_{d}",
             )(x, context=spatial_context)
 
-            x_mix = x + emb
-            # (B*T, S, C) -> (B*S, T, C)
-            b = bt // t
-            x_mix = (
-                x_mix.reshape(b, t, s, inner).transpose(0, 2, 1, 3).reshape(b * s, t, inner)
-            )
+            # Natural (B*T, S, C) layout end-to-end; VideoTransformerBlock
+            # handles the temporal view internally.
             x_mix = VideoTransformerBlock(
                 n_heads=self.n_heads,
                 d_head=self.d_head,
@@ -179,10 +198,7 @@ class SpatialVideoTransformer(nn.Module):
                 disable_temporal_crossattention=self.disable_temporal_crossattention,
                 dtype=self.dtype,
                 name=f"time_stack_{d}",
-            )(x_mix, context=time_context, timesteps=t)
-            x_mix = (
-                x_mix.reshape(b, s, t, inner).transpose(0, 2, 1, 3).reshape(bt, s, inner)
-            )
+            )(x + emb, context=time_context, timesteps=t)
 
             x = time_mixer(
                 x_spatial=x,

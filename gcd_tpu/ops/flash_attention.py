@@ -1,18 +1,26 @@
-"""Pallas TPU flash attention.
+"""Pallas TPU fused multi-head attention.
 
 Replaces the reference's xformers memory-efficient attention / torch SDPA
-(gcd-model/sgm/modules/attention.py:332-336, 427-439) with a fused
-online-softmax kernel tuned for GCD's shapes: many (batch x head) rows of
-short-to-medium sequences (spatial tokens <= 1536, head_dim 64).
+(gcd-model/sgm/modules/attention.py:332-336, 427-439) with a fused softmax
+attention kernel tuned for GCD's shapes: a handful of heads (head_dim 64/128)
+over short-to-medium sequences (spatial tokens <= 1536).
 
-Design notes (per the Pallas TPU guide):
-  * grid = (batch*heads, num_q_blocks); the full K/V for one row rides in VMEM
-    (<= 1536 x 64 x 2 dtypes — well under the VMEM budget), so no k-loop DMA
-    pipelining is needed at these sizes; the kernel loops over K blocks with a
-    fori_loop carrying the running max / normalizer (classic flash recurrence).
-  * logits accumulate in fp32 on the MXU (`preferred_element_type`); inputs may
-    be bf16.
-  * sequence lengths are padded to the block size with -inf masking on K.
+Design notes (measured on TPU v5e, xprof hardware traces):
+  * The kernel consumes q/k/v in their NATURAL projection layout (B, S, H*D)
+    and loops over heads with static 64-lane slices inside the kernel. The
+    textbook (B*H, S, D) layout costs two HBM relayouts per operand
+    ((B,S,H,D) -> transpose -> (B*H,S,D) and back), which dominated the old
+    kernel's wall time: 2.79 ms/call in-UNet vs 1.07 ms for this design at
+    (28, 1536, 5x64).
+  * Sequences here are short enough that one q-block's full logits row fits
+    VMEM, so softmax is computed exactly over the whole row — no online
+    rescaling recurrence (the flash recurrence's alpha-rescale VPU work is
+    pure overhead when S <= ~2048).
+  * logits accumulate in fp32 on the MXU (`preferred_element_type`); the
+    probability matrix is cast back to bf16 for the PV matmul.
+  * Backward: custom_vjp recomputes attention with plain XLA einsums — the
+    kernel stores nothing, matching jax.checkpoint-style recompute; at these
+    sequence lengths XLA's materialized backward is fine.
 """
 
 from __future__ import annotations
@@ -27,102 +35,143 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Per-invocation VMEM ceiling for the block-size chooser (v5e has 128 MB of
+# VMEM per core; stay well under to leave room for double buffering).
+VMEM_BUDGET_BYTES = 32 * 1024 * 1024
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
-                  block_k: int):
-    # q_ref: (BQ, D); k_ref/v_ref: (S_pad, D); o_ref: (BQ, D)
-    q = q_ref[:].astype(jnp.float32) * scale
-    bq, d = q.shape
-    s_pad = k_ref.shape[0]
-    num_kb = s_pad // block_k
 
-    m0 = jnp.full((bq, 1), NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((bq, 1), dtype=jnp.float32)
-    acc0 = jnp.zeros((bq, d), dtype=jnp.float32)
-
-    def body(ib, carry):
-        m, l, acc = carry
-        k = k_ref[pl.ds(ib * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(ib * block_k, block_k), :].astype(jnp.float32)
+def _mh_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int,
+               d: int, kv_len: int):
+    """One q-block x full K/V for all heads. Refs: (1, BQ|S, H*D)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s_pad = k.shape[0]
+    outs = []
+    for h in range(heads):
+        qh = q[:, h * d:(h + 1) * d]
+        kh = k[:, h * d:(h + 1) * d]
+        vh = v[:, h * d:(h + 1) * d]
         logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BK)
-        # Mask out positions beyond the true kv length (padding).
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + ib * block_k
-        logits = jnp.where(col < kv_len, logits, NEG_INF)
-
-        m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
-        p = jnp.exp(logits - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (BQ, S)
+        if s_pad != kv_len:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < kv_len, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        return m_new, l_new, acc_new
-
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        outs.append(oh)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
-    size = x.shape[axis]
-    pad = (-size) % multiple
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
+def _pick_block_q(sq: int, skv_pad: int, hd: int, itemsize: int) -> int:
+    for bq in (512, 256, 128):
+        # q + out blocks, K/V rows, one head's fp32 logits + exp temp.
+        vmem = ((bq + bq + 2 * skv_pad) * hd * itemsize
+                + 2 * bq * skv_pad * 4)
+        if vmem <= VMEM_BUDGET_BYTES and (sq % bq == 0 or bq <= sq):
+            return bq
+    return 128
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def _flash_fwd(q3: jnp.ndarray, k3: jnp.ndarray, v3: jnp.ndarray,
+               scale: float, heads: int) -> jnp.ndarray:
+    """q3/k3/v3: (B, S, H*D) in natural layout."""
+    b, sq, hd = q3.shape
+    skv = k3.shape[1]
+    d = hd // heads
+
+    skv_pad = skv + ((-skv) % 128)
+    block_q = _pick_block_q(sq, skv_pad, hd, q3.dtype.itemsize)
+    pad_q = (-sq) % block_q
+    if pad_q:
+        q3 = jnp.pad(q3, ((0, 0), (0, pad_q), (0, 0)))
+    if skv_pad != skv:
+        k3 = jnp.pad(k3, ((0, 0), (0, skv_pad - skv), (0, 0)))
+        v3 = jnp.pad(v3, ((0, 0), (0, skv_pad - skv), (0, 0)))
+    sq_pad = q3.shape[1]
+
+    grid = (b, sq_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_mh_kernel, scale=scale, heads=heads, d=d,
+                          kv_len=skv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda r, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, hd), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, hd), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda r, i: (r, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sq_pad, hd), q3.dtype),
+    )(q3, k3, v3)
+    if pad_q:
+        out = out[:, :sq]
+    return out
+
+
+def _xla_mh(q3, k3, v3, scale: float, heads: int):
+    """Reference attention on the (B, S, H*D) layout (backward recompute)."""
+    b, sq, hd = q3.shape
+    skv = k3.shape[1]
+    d = hd // heads
+    qh = q3.reshape(b, sq, heads, d)
+    kh = k3.reshape(b, skv, heads, d)
+    vh = v3.reshape(b, skv, heads, d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(vh.dtype), vh,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, sq, hd).astype(q3.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash3(q3, k3, v3, scale: float, heads: int):
+    return _flash_fwd(q3, k3, v3, scale, heads)
+
+
+def _flash3_fwd(q3, k3, v3, scale, heads):
+    return _flash_fwd(q3, k3, v3, scale, heads), (q3, k3, v3)
+
+
+def _flash3_bwd(scale, heads, res, g):
+    q3, k3, v3 = res
+    _, vjp = jax.vjp(lambda q, k, v: _xla_mh(q, k, v, scale, heads),
+                     q3, k3, v3)
+    return vjp(g)
+
+
+_flash3.defvjp(_flash3_fwd, _flash3_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 256,
-    interpret: bool = False,
+    interpret: bool = False,  # kept for API compat; interpret unused
 ) -> jnp.ndarray:
-    """(B, Sq, H, D) attention with fused online softmax. Returns (B, Sq, H, D)."""
+    """(B, Sq, H, D) fused attention. Returns (B, Sq, H, D).
+
+    The (B,S,H,D) <-> (B,S,H*D) reshapes at this boundary are free (the last
+    two dims are contiguous), so callers that fold heads out of the channel
+    dim pay no relayout.
+    """
     b, sq, h, d = q.shape
     skv = k.shape[1]
     scale = float(d**-0.5 if scale is None else scale)
-
-    block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
-    block_k = min(block_k, max(128, 1 << (skv - 1).bit_length()))
-
-    # (B, S, H, D) -> (B*H, S, D)
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
-
-    qf = _pad_to(qf, 1, block_q)
-    kf = _pad_to(kf, 1, block_k)
-    vf = _pad_to(vf, 1, block_k)
-    sq_pad = qf.shape[1]
-    skv_pad = kf.shape[1]
-
-    grid = (b * h, sq_pad // block_q)
-
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=scale, kv_len=skv, block_k=block_k
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda r, i: (r, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, skv_pad, d), lambda r, i: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, skv_pad, d), lambda r, i: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda r, i: (r, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
-        interpret=interpret,
-    )(qf, kf, vf)
-
-    out = out[:, :sq]
-    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    q3 = q.reshape(b, sq, h * d)
+    k3 = k.reshape(b, skv, h * d)
+    v3 = v.reshape(b, skv, h * d)
+    out = _flash3(q3, k3, v3, scale, h)
+    return out.reshape(b, sq, h, d)
