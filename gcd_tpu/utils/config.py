@@ -90,9 +90,28 @@ def partial_from_config(config: Dict[str, Any], **extra):
 
 
 def load_config(path: str) -> Dict[str, Any]:
+    """Load a YAML config.
+
+    Extension over the reference's OmegaConf loader: a top-level
+    ``include: [relative paths]`` list pulls in base files (recursively),
+    merged left-to-right, with the including file's own content merged last.
+    This keeps the shipped config family DRY (configs/base/*) while the
+    reference's monolithic yamls still load unchanged (they have no
+    ``include`` key)."""
+    import os
+
     with open(path, "r") as f:
         cfg = yaml.safe_load(f)
-    return cfg or {}
+    cfg = cfg or {}
+    includes = cfg.pop("include", None)
+    if includes:
+        base_dir = os.path.dirname(os.path.abspath(path))
+        merged: Dict[str, Any] = {}
+        for rel in includes:
+            inc_path = rel if os.path.isabs(rel) else os.path.join(base_dir, rel)
+            merged = _deep_merge(merged, load_config(inc_path))
+        cfg = _deep_merge(merged, cfg)
+    return cfg
 
 
 def _deep_merge(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:
