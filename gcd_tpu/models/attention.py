@@ -47,15 +47,19 @@ class CrossAttention(nn.Module):
         if context is not None and context.shape[1] == 1:
             # Exact shortcut for single-token cross-attention (SVD's CLIP
             # image context is (B, 1, 1024)): softmax over one key is
-            # identically 1, so the output is to_out(to_v(ctx)) broadcast over
-            # the query sequence — q/k projections and the attention itself
-            # are dead compute. Params for to_q/to_k are still registered on a
-            # 1-token slice so checkpoints load identically; XLA removes the
-            # unused matmuls.
+            # identically 1, so the output is to_out(to_v(ctx)) — the same
+            # vector for every query token; q/k projections and the attention
+            # itself are dead compute. Params for to_q/to_k are still
+            # registered on a 1-token slice so checkpoints load identically;
+            # XLA removes the unused matmuls.
+            #
+            # Returns (B, 1, C), NOT materialized to (B, S, C): the residual
+            # add broadcasts it for free, and an explicit broadcast_to here
+            # was observed to push XLA into batch-in-lanes layouts for the
+            # surrounding matmuls (20x slowdown on the ds1 proj_out).
             _ = to_q(x[:, :1])
             _ = to_k(ctx)
-            out = to_out(to_v(ctx))  # (B, 1, query_dim)
-            return jnp.broadcast_to(out, (x.shape[0], x.shape[1], query_dim))
+            return to_out(to_v(ctx))  # (B, 1, query_dim)
 
         q = to_q(x)
         k = to_k(ctx)

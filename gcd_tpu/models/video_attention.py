@@ -75,6 +75,10 @@ class VideoTransformerBlock(nn.Module):
                 heads=self.n_heads, dim_head=self.d_head,
                 context_dim=self.context_dim, dtype=self.dtype, name=name,
             )(hv, context=context)
+            if out.shape[1] == 1:
+                # Single-key shortcut returned one token per video; replicate
+                # per frame (tiny) and let the residual add broadcast over S.
+                return jnp.repeat(out, t, axis=0)  # (B*T, 1, C)
             return out.reshape(bt, s, out.shape[-1])
 
         if self.ff_in:
