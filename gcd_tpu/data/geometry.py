@@ -382,8 +382,23 @@ def render_point_cloud(
     blur_kernel: int = 21,
     pad_to_multiple: int = 1 << 18,
 ) -> np.ndarray:
-    """Host-friendly wrapper: pad the cloud to a bucketed size (stable jit
-    shapes), splat, fill holes. Returns (H, W, 3) float32 in [0, 1]."""
+    """Host-friendly wrapper: splat + fill holes. Returns (H, W, 3) float32
+    in [0, 1].
+
+    Prefers the native C++/OpenMP kernel (gcd_tpu/native/splat.cpp — a
+    streaming scatter, ~5x faster single-core than the XLA-CPU lowering and
+    scaling with host cores); falls back to the jittable jax path (padded to
+    bucketed sizes for stable jit shapes) when no compiler is available or
+    GCD_NO_NATIVE_SPLAT=1."""
+    from gcd_tpu import native
+
+    if native.native_available():
+        img = native.splat_points_native(
+            xyz, rgb, intrinsics, extrinsics, height, width,
+            spread_radius=spread_radius, mode=mode,
+        )
+        return native.blur_into_black_native(img, kernel_size=blur_kernel)
+
     n = xyz.shape[0]
     n_pad = ((n + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
     xyz_p = np.zeros((n_pad, 3), dtype=np.float32)
