@@ -135,6 +135,148 @@ def _xla_mh(q3, k3, v3, scale: float, heads: int):
     return out.reshape(b, sq, hd).astype(q3.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Backward: fused recompute kernel.
+#
+# The kernel runs per (batch*head) row in the classic (B*H, S, D) layout —
+# the payload of one q-block (logits, P, dP all (block_q, S) fp32) fits VMEM,
+# so the backward never materializes the (S, S) probability matrix in HBM
+# (XLA's recompute backward writes ~1.3 GB of fp32 scores per ds1 layer).
+# The head transposes around it are paid only on the training path.
+# dk/dv accumulate across q-block grid steps via a constant output index map
+# (the block stays resident in VMEM between consecutive steps).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                scale: float, kv_len: int):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    s_pad = k.shape[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if s_pad != kv_len:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    dq = jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] += dk.astype(dk_ref.dtype)
+    dv_ref[0] += dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_rows(q, k, v, do, scale: float, block_q: int = 256,
+                    interpret: bool = False):
+    """q/k/v/do: (B*H, S, D). Returns fp32 (dq, dk, dv) in the same layout."""
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    pad_q = (-sq) % block_q
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, pad_q), (0, 0)))
+    skv_pad = skv + ((-skv) % 128)
+    if skv_pad != skv:
+        k = jnp.pad(k, ((0, 0), (0, skv_pad - skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, skv_pad - skv), (0, 0)))
+    sq_pad = q.shape[1]
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, kv_len=skv),
+        grid=(bh, sq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, skv_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, skv_pad, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, do)
+    return dq[:, :sq], dk[:, :skv], dv[:, :skv]
+
+
+def flash_attention_bwd(q3, k3, v3, g, scale: float, heads: int,
+                        interpret: bool = False):
+    """Fused backward on the (B, S, H*D) layout; returns grads of q3/k3/v3."""
+    b, sq, hd = q3.shape
+    skv = k3.shape[1]
+    d = hd // heads
+
+    def to_rows(z, s):
+        return z.reshape(b, s, heads, d).transpose(0, 2, 1, 3).reshape(
+            b * heads, s, d)
+
+    def from_rows(z, s):
+        return z.reshape(b, heads, s, d).transpose(0, 2, 1, 3).reshape(
+            b, s, hd)
+
+    dq, dk, dv = _flash_bwd_rows(
+        to_rows(q3, sq), to_rows(k3, skv), to_rows(v3, skv), to_rows(g, sq),
+        scale, interpret=interpret)
+    return (from_rows(dq, sq).astype(q3.dtype),
+            from_rows(dk, skv).astype(k3.dtype),
+            from_rows(dv, skv).astype(v3.dtype))
+
+
+_BWD_PROBE_OK: Optional[bool] = None
+
+
+def _bwd_available() -> bool:
+    """Probe-compile the backward kernel once per process. The remote TPU
+    compile helper occasionally rejects kernel payloads (HTTP 413); since a
+    pallas compile failure inside a large training-step jit cannot be caught
+    at trace time, we gate on a cheap standalone probe instead."""
+    global _BWD_PROBE_OK
+    import os
+
+    if os.environ.get("GCD_FLASH_BWD", "1") != "1":
+        return False
+    if _BWD_PROBE_OK is None:
+        try:
+            z = jnp.zeros((2, 256, 64), jnp.bfloat16)
+            jax.jit(lambda a: _flash_bwd_rows(a, a, a, a, 0.125))(z)[0].block_until_ready()
+            _BWD_PROBE_OK = True
+        except Exception:
+            _BWD_PROBE_OK = False
+    return _BWD_PROBE_OK
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash3(q3, k3, v3, scale: float, heads: int):
     return _flash_fwd(q3, k3, v3, scale, heads)
@@ -146,6 +288,8 @@ def _flash3_fwd(q3, k3, v3, scale, heads):
 
 def _flash3_bwd(scale, heads, res, g):
     q3, k3, v3 = res
+    if _bwd_available():
+        return flash_attention_bwd(q3, k3, v3, g, scale, heads)
     _, vjp = jax.vjp(lambda q, k, v: _xla_mh(q, k, v, scale, heads),
                      q3, k3, v3)
     return vjp(g)
