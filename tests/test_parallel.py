@@ -115,3 +115,31 @@ def test_frozen_params_not_updated():
     a = jax.tree_util.tree_leaves(state.params["conditioner"]["embedders_5"])[0]
     b = jax.tree_util.tree_leaves(new_state.params["conditioner"]["embedders_5"])[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_sampler_matches_single_device():
+    """Serving path: sample_video sharded over the mesh must reproduce the
+    single-device samples (same PRNG key)."""
+    from gcd_tpu.engine.serving import make_sharded_sampler
+
+    engine = _tiny_engine()
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(lambda k: engine.init_params(k, img_hw=(H, W), t=T))(key)
+
+    b = 4  # b*t divisible by the 8-device mesh
+    batch = engine.example_batch((H, W), T, b)
+    batch["cond_frames_without_noise"] = jax.random.normal(
+        jax.random.fold_in(key, 1), (b * T, H, W, 3)) * 0.3
+    batch["cond_frames"] = batch["cond_frames_without_noise"] + 0.01
+
+    single = jax.jit(
+        lambda p, bt, k: engine.sample_video(p, bt, k, num_steps=2)
+    )(params, batch, key)
+
+    mesh = create_mesh(data=4, fsdp=2)
+    sampler = make_sharded_sampler(engine, mesh, num_steps=2)
+    sharded = sampler(params, batch, key)
+
+    np.testing.assert_allclose(
+        np.asarray(sharded["sampled_video"]),
+        np.asarray(single["sampled_video"]), rtol=2e-4, atol=2e-4)
