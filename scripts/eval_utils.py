@@ -333,3 +333,30 @@ def update_os_cpu_affinity(rank: int, num_workers: int) -> None:
         psutil.Process().cpu_affinity(mine)
     except Exception:
         pass
+
+
+def make_sampler(bundle: ModelBundle, mesh_data: int = 1, mesh_fsdp: int = 1,
+                 decoding_t: int = 14):
+    """sample(batch, key) -> dict. mesh_data*mesh_fsdp > 1 shards ONE clip's
+    sampling across the chips of a ("data","fsdp") mesh
+    (gcd_tpu/engine/serving.py); otherwise plain single-device sampling."""
+    import jax
+
+    engine = bundle.engine
+    if mesh_data * mesh_fsdp > 1:
+        from gcd_tpu.parallel.mesh import create_mesh
+        from gcd_tpu.engine.serving import make_sharded_sampler
+
+        mesh = create_mesh(data=mesh_data, fsdp=mesh_fsdp)
+        sharded = make_sharded_sampler(engine, mesh, decoding_t=decoding_t)
+
+        def sample(batch, key):
+            return sharded(bundle.params, batch, key)
+
+        return sample
+
+    def sample(batch, key):
+        return engine.sample_video(bundle.params, batch, key,
+                                   decoding_t=decoding_t)
+
+    return sample

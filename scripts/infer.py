@@ -60,6 +60,13 @@ def get_parser():
     p.add_argument("--save_frames", action="store_true")
     p.add_argument("--shard", type=str, default="0/1",
                    help="i/n example sharding across separate launches")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="shard each clip's sampling over a data mesh axis "
+                        "(multi-chip serving; mesh_data*mesh_fsdp chips)")
+    p.add_argument("--mesh_fsdp", type=int, default=1)
+    p.add_argument("--cpu_devices", type=int, default=0,
+                   help="force N virtual CPU devices (for mesh testing "
+                        "without TPU chips; goes through jax.config)")
     return p
 
 
@@ -80,13 +87,12 @@ def process_example(bundle, args, input_fp: str, out_dp: str, key):
     batch = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
              for k, v in batch_np.items()}
 
-    engine = bundle.engine
+    sampler = eval_utils.make_sampler(bundle, args.mesh_data, args.mesh_fsdp,
+                                      decoding_t=args.decoding_t)
     samples = []
     for s in range(args.num_samples):
         t0 = time.time()
-        out = engine.sample_video(
-            bundle.params, batch, jax.random.fold_in(key, s),
-            decoding_t=args.decoding_t)
+        out = sampler(batch, jax.random.fold_in(key, s))
         sampled = np.asarray(out["sampled_video"])
         samples.append(sampled)
         print(f"  sample {s}: {time.time() - t0:.1f}s")
@@ -119,6 +125,9 @@ def main(argv=None):
     import jax
 
     args = get_parser().parse_args(argv)
+    if args.cpu_devices > 0:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
     key = jax.random.PRNGKey(args.seed)
 
     bundle = eval_utils.load_model_bundle(

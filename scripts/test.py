@@ -56,6 +56,13 @@ def get_parser():
     p.add_argument("--support_ema", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--shard", type=str, default="0/1")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="shard each clip's sampling over a data mesh axis "
+                        "(multi-chip serving; mesh_data*mesh_fsdp chips)")
+    p.add_argument("--mesh_fsdp", type=int, default=1)
+    p.add_argument("--cpu_devices", type=int, default=0,
+                   help="force N virtual CPU devices (for mesh testing "
+                        "without TPU chips; goes through jax.config)")
     p.add_argument("--use_ema", type=int, default=0)
     return p
 
@@ -177,13 +184,12 @@ def process_example(bundle, args, dset, scene, control, key, out_dp,
     if "reproject" in batch_np:
         reproject = (np.asarray(batch_np["reproject"]) + 1.0) / 2.0
 
-    engine = bundle.engine
+    sampler = eval_utils.make_sampler(bundle, args.mesh_data, args.mesh_fsdp,
+                                      decoding_t=args.decoding_t)
     samples = []
     for s in range(args.num_samples):
         t0 = time.time()
-        out = engine.sample_video(bundle.params, batch,
-                                  jax.random.fold_in(key, s),
-                                  decoding_t=args.decoding_t)
+        out = sampler(batch, jax.random.fold_in(key, s))
         samples.append(np.asarray(out["sampled_video"]))
         print(f"  sample {s}: {time.time() - t0:.1f}s")
 
@@ -225,6 +231,9 @@ def main(argv=None):
     import jax
 
     args = get_parser().parse_args(argv)
+    if args.cpu_devices > 0:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
     key = jax.random.PRNGKey(args.seed)
 
     bundle = eval_utils.load_model_bundle(
