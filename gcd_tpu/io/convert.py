@@ -48,6 +48,11 @@ _SEGMENT_RENAMES = {
     "to_out_0": "to_out.0",
     "mlp_c_fc": "mlp.c_fc",
     "mlp_c_proj": "mlp.c_proj",
+    # CLIP block norms keep their literal names — without these identities the
+    # numeric-suffix splitter would emit ln.1/ln.2 and every CLIP-tower norm
+    # would silently miss during checkpoint conversion.
+    "ln_1": "ln_1",
+    "ln_2": "ln_2",
     "conv2d": "",  # AE3DConvOut's 2D conv lives at the AE3DConv root in torch
 }
 
@@ -248,3 +253,101 @@ def extract_ema_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         if orig is not None:
             out[orig] = sd[k]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Text-tower adapters (HF transformers / open_clip checkpoints)
+# ---------------------------------------------------------------------------
+
+_T5_KEY = re.compile(
+    r"^block_(\d+)_(attn\.(?:q|k|v|o)|ln\.(\d+)|wi(?:\.\d+)?|wo)\.weight$"
+)
+
+
+def t5_rename(key: str) -> str:
+    """Rename generic gcd_tpu T5Encoder keys to HF T5EncoderModel keys.
+
+    Generic (from flax paths)          HF
+    shared                             shared.weight
+    relative_attention_bias            encoder.block.0.layer.0.SelfAttention.
+                                         relative_attention_bias.weight
+    block_N_ln.0.weight                encoder.block.N.layer.0.layer_norm.weight
+    block_N_attn.{q,k,v,o}.weight      encoder.block.N.layer.0.SelfAttention.*.weight
+    block_N_ln.1.weight                encoder.block.N.layer.1.layer_norm.weight
+    block_N_wi.0/wi.1/wi/wo.weight     encoder.block.N.layer.1.DenseReluDense.*
+    final_layer_norm.weight            encoder.final_layer_norm.weight
+    """
+    if key == "shared":
+        return "shared.weight"
+    if key == "relative_attention_bias":
+        return ("encoder.block.0.layer.0.SelfAttention."
+                "relative_attention_bias.weight")
+    if key == "final_layer_norm.weight":
+        return "encoder.final_layer_norm.weight"
+    m = _T5_KEY.match(key)
+    if m:
+        n, mid = m.group(1), m.group(2)
+        if mid.startswith("attn."):
+            return f"encoder.block.{n}.layer.0.SelfAttention.{mid[5:]}.weight"
+        if mid.startswith("ln."):
+            layer = mid.split(".")[1]
+            return f"encoder.block.{n}.layer.{layer}.layer_norm.weight"
+        ff = mid.replace("wi.0", "wi_0").replace("wi.1", "wi_1")
+        return f"encoder.block.{n}.layer.1.DenseReluDense.{ff}.weight"
+    return key
+
+
+def hf_clip_text_to_openclip_sd(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Re-key an HF `CLIPTextModel` state dict into open_clip text-tower
+    naming (token_embedding.weight, transformer.resblocks.N.attn.in_proj_*,
+    ...), merging the separate q/k/v projections into the combined in_proj."""
+    out: Dict[str, np.ndarray] = {}
+    pre = "text_model."
+    qkv: Dict[str, Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        if not k.startswith(pre):
+            continue
+        k = k[len(pre):]
+        if k == "embeddings.token_embedding.weight":
+            out["token_embedding.weight"] = v
+        elif k == "embeddings.position_embedding.weight":
+            out["positional_embedding"] = v
+        elif k == "final_layer_norm.weight":
+            out["ln_final.weight"] = v
+        elif k == "final_layer_norm.bias":
+            out["ln_final.bias"] = v
+        elif k.startswith("encoder.layers."):
+            rest = k[len("encoder.layers."):]
+            n, sub = rest.split(".", 1)
+            base = f"transformer.resblocks.{n}"
+            m = re.match(r"self_attn\.([qkv])_proj\.(weight|bias)$", sub)
+            if m:
+                qkv.setdefault(f"{base}|{m.group(2)}", {})[m.group(1)] = v
+            elif sub.startswith("self_attn.out_proj."):
+                out[f"{base}.attn.out_proj.{sub.rsplit('.', 1)[1]}"] = v
+            elif sub.startswith("layer_norm1."):
+                out[f"{base}.ln_1.{sub.rsplit('.', 1)[1]}"] = v
+            elif sub.startswith("layer_norm2."):
+                out[f"{base}.ln_2.{sub.rsplit('.', 1)[1]}"] = v
+            elif sub.startswith("mlp.fc1."):
+                out[f"{base}.mlp.c_fc.{sub.rsplit('.', 1)[1]}"] = v
+            elif sub.startswith("mlp.fc2."):
+                out[f"{base}.mlp.c_proj.{sub.rsplit('.', 1)[1]}"] = v
+    for key, parts in qkv.items():
+        base, leaf = key.split("|")
+        cat = np.concatenate([parts["q"], parts["k"], parts["v"]], axis=0)
+        out[f"{base}.attn.in_proj_{leaf}"] = cat
+    # CLIPTextModelWithProjection stores (out, width); open_clip stores the
+    # transposed parameter directly.
+    if "text_projection.weight" in sd:
+        out["text_projection"] = np.asarray(sd["text_projection.weight"]).T
+    return out
+
+
+def openclip_text_rename(key: str) -> str:
+    """Generic gcd_tpu CLIPTextTower keys -> open_clip text-tower keys."""
+    if key.startswith("resblocks."):
+        return "transformer." + key
+    if key == "token_embedding":
+        return "token_embedding.weight"
+    return key

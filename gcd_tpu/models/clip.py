@@ -36,6 +36,7 @@ class MHA(nn.Module):
     """torch.nn.MultiheadAttention-compatible self-attention (combined qkv)."""
 
     heads: int
+    causal: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -49,12 +50,14 @@ class MHA(nn.Module):
         v = v.reshape(b, s, self.heads, d)
         from gcd_tpu.ops.attention import dot_product_attention
 
-        out = dot_product_attention(q, k, v).reshape(b, s, c)
+        out = dot_product_attention(q, k, v, causal=self.causal).reshape(b, s, c)
         return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
 
 
 class CLIPBlock(nn.Module):
     heads: int
+    causal: bool = False
+    quick_gelu: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -62,12 +65,16 @@ class CLIPBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(
             x.astype(jnp.float32)
         ).astype(x.dtype)
-        x = x + MHA(heads=self.heads, dtype=self.dtype, name="attn")(h)
+        x = x + MHA(heads=self.heads, causal=self.causal, dtype=self.dtype,
+                    name="attn")(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(
             x.astype(jnp.float32)
         ).astype(x.dtype)
         h = nn.Dense(x.shape[-1] * 4, dtype=self.dtype, name="mlp_c_fc")(h)
-        h = jax.nn.gelu(h, approximate=False)
+        if self.quick_gelu:
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(x.shape[-1], dtype=self.dtype, name="mlp_c_proj")(h)
         return x + h
 

@@ -394,51 +394,251 @@ class GaussianEncoder(nn.Module):
         return z
 
 
-class _UnavailableTextEmbedder(nn.Module):
-    """Text towers (T5/CLIP-text) — present in the reference but unused by any
-    GCD config (SURVEY.md section 2.1); their pretrained weights are not
-    shipped in this environment. Instantiation succeeds (config parity);
-    calling raises with a clear message."""
+# ---------------------------------------------------------------------------
+# Text embedders (modules.py:332-651). Unused by every GCD config, but part of
+# the sgm API surface. Each accepts either an int token array (B, S) — the
+# jit-friendly path — or a list of strings, tokenized on the host when the
+# needed tokenizer assets are available locally (this environment has no
+# network egress, so BPE/sentencepiece vocab downloads are impossible; ByT5 is
+# asset-free).
+# ---------------------------------------------------------------------------
 
-    version: str = ""
+# (d_model, d_ff, num_layers, num_heads, d_kv, vocab, gated_ff)
+_T5_ARCHS = {
+    "google/t5-v1_1-small": (512, 1024, 8, 6, 64, 32128, True),
+    "google/t5-v1_1-base": (768, 2048, 12, 12, 64, 32128, True),
+    "google/t5-v1_1-large": (1024, 2816, 24, 16, 64, 32128, True),
+    "google/t5-v1_1-xl": (2048, 5120, 24, 32, 64, 32128, True),
+    "google/t5-v1_1-xxl": (4096, 10240, 24, 64, 64, 32128, True),
+    "google/byt5-small": (1472, 3584, 12, 6, 64, 384, True),
+    "google/byt5-base": (1536, 3968, 18, 12, 64, 384, True),
+    "google/byt5-large": (1536, 3840, 36, 16, 64, 384, True),
+}
+
+# (width, layers, heads, output_dim, quick_gelu)
+_CLIP_TEXT_ARCHS = {
+    "openai/clip-vit-large-patch14": (768, 12, 12, None, True),
+    "openai/clip-vit-base-patch32": (512, 12, 8, None, True),
+    "ViT-L-14": (768, 12, 12, 768, False),
+    "ViT-H-14": (1024, 24, 16, 1024, False),
+    "ViT-bigG-14": (1280, 32, 20, 1280, False),
+}
+
+
+def _tokenize_hf(texts: Sequence[str], name_or_path: str, cls: str,
+                 max_length: int) -> jnp.ndarray:
+    """Host tokenization via a *local* HF tokenizer (no downloads)."""
+    try:
+        import transformers
+
+        tok = getattr(transformers, cls).from_pretrained(
+            name_or_path, local_files_only=True
+        )
+    except Exception as e:
+        raise RuntimeError(
+            f"{cls} assets for '{name_or_path}' are not available locally and "
+            "cannot be downloaded (no egress). Pass pre-tokenized int arrays "
+            "of shape (B, max_length) instead of strings."
+        ) from e
+    enc = tok(
+        list(texts), truncation=True, max_length=max_length,
+        padding="max_length", return_tensors="np",
+    )
+    return jnp.asarray(enc["input_ids"].astype("int32"))
+
+
+class _T5EmbedderBase(nn.Module):
+    """Shared forward for FrozenT5Embedder (modules.py:332-370) and
+    FrozenByT5Embedder (:372-412): tokenize -> T5 encoder -> last hidden
+    state (B, S, d_model), routed to crossattn by rank."""
+
+    version: str = "google/t5-v1_1-xxl"
+    device: str = "tpu"
+    max_length: int = 77
+    freeze: bool = True
+    dtype: Dtype = jnp.float32
+    # explicit arch overrides (else resolved from `version`)
+    d_model: Optional[int] = None
+    d_ff: Optional[int] = None
+    num_layers: Optional[int] = None
+    num_heads: Optional[int] = None
+    d_kv: Optional[int] = None
+    vocab_size: Optional[int] = None
+
+    def _arch(self):
+        base = _T5_ARCHS.get(self.version, _T5_ARCHS["google/t5-v1_1-xxl"])
+        d_model, d_ff, layers, heads, d_kv, vocab, gated = base
+        return dict(
+            d_model=self.d_model or d_model,
+            d_ff=self.d_ff or d_ff,
+            num_layers=self.num_layers or layers,
+            num_heads=self.num_heads or heads,
+            d_kv=self.d_kv or d_kv,
+            vocab_size=self.vocab_size or vocab,
+            gated_ff=gated,
+        )
+
+    def _tokenize(self, text) -> jnp.ndarray:
+        raise NotImplementedError
+
+    @nn.compact
+    def __call__(self, text) -> jnp.ndarray:
+        from gcd_tpu.models.text_towers import T5Encoder
+
+        if not isinstance(text, jnp.ndarray):
+            text = self._tokenize(text)
+        z = T5Encoder(dtype=self.dtype, name="transformer", **self._arch())(text)
+        return jax.lax.stop_gradient(z) if self.freeze else z
+
+
+@register("sgm.modules.encoders.modules.FrozenT5Embedder")
+class FrozenT5Embedder(_T5EmbedderBase):
+    def _tokenize(self, text):
+        return _tokenize_hf(text, self.version, "T5Tokenizer", self.max_length)
+
+
+@register("sgm.modules.encoders.modules.FrozenByT5Embedder")
+class FrozenByT5Embedder(_T5EmbedderBase):
+    version: str = "google/byt5-base"
+
+    def _tokenize(self, text):
+        from gcd_tpu.models.text_towers import byt5_tokenize
+
+        return byt5_tokenize(text, self.max_length)
+
+
+@register("sgm.modules.encoders.modules.FrozenCLIPEmbedder")
+class FrozenCLIPEmbedder(nn.Module):
+    """HF CLIPTextModel semantics (modules.py:414-477): layer 'last' returns
+    the final-LayerNorm'd hidden states, 'pooled' the eot embedding (no
+    projection), 'hidden' an intermediate pre-norm hidden state."""
+
+    version: str = "openai/clip-vit-large-patch14"
     device: str = "tpu"
     max_length: int = 77
     freeze: bool = True
     layer: str = "last"
     layer_idx: Optional[int] = None
     always_return_pooled: bool = False
-    legacy: bool = True
+    dtype: Dtype = jnp.float32
+    width: Optional[int] = None
+    layers: Optional[int] = None
+    heads: Optional[int] = None
+    vocab_size: int = 49408
 
+    @nn.compact
     def __call__(self, text):
-        raise NotImplementedError(
-            f"{type(self).__name__} is not used by any GCD config and its "
-            "pretrained text-tower weights are unavailable in this "
-            "environment. Wire a converted checkpoint through "
-            "gcd_tpu.io.convert and implement the tower (see models/clip.py "
-            "for the vision-tower pattern) if a config needs it."
+        from gcd_tpu.models.text_towers import CLIPTextTower
+
+        assert self.layer in ("last", "pooled", "hidden")
+        if self.layer == "hidden":
+            assert self.layer_idx is not None
+        if not isinstance(text, jnp.ndarray):
+            text = _tokenize_hf(text, self.version, "CLIPTokenizer",
+                                self.max_length)
+        width, layers, heads, _, quick_gelu = _CLIP_TEXT_ARCHS.get(
+            self.version, _CLIP_TEXT_ARCHS["openai/clip-vit-large-patch14"]
+        )
+        out = CLIPTextTower(
+            vocab_size=self.vocab_size,
+            width=self.width or width,
+            layers=self.layers or layers,
+            heads=self.heads or heads,
+            context_length=self.max_length,
+            output_dim=None,  # HF CLIPTextModel pooler has no projection
+            quick_gelu=quick_gelu,
+            dtype=self.dtype,
+            name="transformer",
+        )(text)
+        if self.layer == "last":
+            z = out["normed"]
+        elif self.layer == "pooled":
+            z = out["pooled"][:, None, :]
+        else:
+            z = out["hidden"][self.layer_idx]
+        if self.freeze:
+            z = jax.lax.stop_gradient(z)
+            out = jax.tree.map(jax.lax.stop_gradient, out)
+        if self.always_return_pooled:
+            return z, out["pooled"]
+        return z
+
+
+class _OpenCLIPTextBase(nn.Module):
+    arch: str = "ViT-H-14"
+    version: str = "laion2b_s32b_b79k"
+    device: str = "tpu"
+    max_length: int = 77
+    freeze: bool = True
+    layer: str = "last"
+    dtype: Dtype = jnp.float32
+    # arch overrides (else resolved from `arch`; shrunk in unit tests)
+    width: Optional[int] = None
+    layers: Optional[int] = None
+    heads: Optional[int] = None
+    output_dim: Optional[int] = None
+    vocab_size: int = 49408
+
+    def _tower(self):
+        from gcd_tpu.models.text_towers import CLIPTextTower
+
+        width, layers, heads, output_dim, quick_gelu = _CLIP_TEXT_ARCHS.get(
+            self.arch, _CLIP_TEXT_ARCHS["ViT-H-14"]
+        )
+        return CLIPTextTower(
+            vocab_size=self.vocab_size,
+            width=self.width or width,
+            layers=self.layers or layers,
+            heads=self.heads or heads,
+            context_length=self.max_length,
+            output_dim=self.output_dim or output_dim,
+            quick_gelu=quick_gelu,
+            dtype=self.dtype,
+            name="model",
         )
 
-
-@register("sgm.modules.encoders.modules.FrozenT5Embedder")
-class FrozenT5Embedder(_UnavailableTextEmbedder):
-    pass
-
-
-@register("sgm.modules.encoders.modules.FrozenByT5Embedder")
-class FrozenByT5Embedder(_UnavailableTextEmbedder):
-    pass
-
-
-@register("sgm.modules.encoders.modules.FrozenCLIPEmbedder")
-class FrozenCLIPEmbedder(_UnavailableTextEmbedder):
-    pass
+    def _tokens(self, text):
+        if isinstance(text, jnp.ndarray):
+            return text
+        # open_clip.tokenize == HF CLIPTokenizer with the same 49408 BPE vocab
+        return _tokenize_hf(text, "openai/clip-vit-large-patch14",
+                            "CLIPTokenizer", self.max_length)
 
 
 @register("sgm.modules.encoders.modules.FrozenOpenCLIPEmbedder")
-class FrozenOpenCLIPEmbedder(_UnavailableTextEmbedder):
-    pass
+class FrozenOpenCLIPEmbedder(_OpenCLIPTextBase):
+    """modules.py:581-651: 'last' = ln_final(all blocks), 'penultimate' =
+    ln_final(all-but-last blocks)."""
+
+    @nn.compact
+    def __call__(self, text):
+        assert self.layer in ("last", "penultimate")
+        out = self._tower()(self._tokens(text))
+        z = out["normed" if self.layer == "last" else "normed_penultimate"]
+        return jax.lax.stop_gradient(z) if self.freeze else z
 
 
 @register("sgm.modules.encoders.modules.FrozenOpenCLIPEmbedder2")
-class FrozenOpenCLIPEmbedder2(_UnavailableTextEmbedder):
-    pass
+class FrozenOpenCLIPEmbedder2(_OpenCLIPTextBase):
+    """modules.py:479-578. legacy=True: ln_final(chosen hidden). legacy=False:
+    raw (pre-ln) hidden states, plus the eot-pooled projected embedding when
+    always_return_pooled."""
+
+    always_return_pooled: bool = False
+    legacy: bool = True
+
+    @nn.compact
+    def __call__(self, text):
+        assert self.layer in ("last", "penultimate", "pooled")
+        tokens = self._tokens(text)
+        out = self._tower()(tokens)
+        if self.freeze:
+            out = jax.tree.map(jax.lax.stop_gradient, out)
+        if self.legacy:
+            assert not self.always_return_pooled
+            return out["normed" if self.layer == "last" else
+                       "normed_penultimate"]
+        z = out["last" if self.layer in ("last", "pooled") else "penultimate"]
+        if self.always_return_pooled:
+            return z, out["pooled"]
+        return z

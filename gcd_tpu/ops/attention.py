@@ -26,12 +26,18 @@ def _xla_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: Optional[float] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """(B, Sq, H, D) x (B, Sk, H, D) -> (B, Sq, H, D); softmax in fp32."""
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
+    if causal:
+        sq, sk = q.shape[1], k.shape[1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        logits = jnp.where(col <= row, logits, jnp.float32(-1e9))
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
@@ -53,12 +59,16 @@ def dot_product_attention(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Dispatching attention entry point used by all model code.
 
     use_flash=None selects automatically: Pallas flash kernel on TPU for
     sequences where tiling pays off, XLA einsum otherwise.
     """
+    if causal:
+        # Only the text towers (seq 77) use causal masking — XLA path.
+        return _xla_attention(q, k, v, scale=scale, causal=True)
     if use_flash is None:
         # >=256 tokens: measured crossover on v5e — at 384 tokens (UNet ds2)
         # the Pallas kernel is ~1.6x faster than XLA's materialized softmax;

@@ -44,12 +44,20 @@ def test_spatial_rescaler(key):
     assert out.shape == (2, 8, 8, 8)
 
 
-def test_text_embedders_raise_clearly():
+def test_text_embedders_accept_token_arrays():
+    # Full coverage lives in tests/test_text_towers.py; this covers the
+    # conditioner-facing contract: token arrays in, crossattn-rank out.
+    import jax
+    import jax.numpy as jnp
+
     from gcd_tpu.models.embedders import FrozenT5Embedder
 
-    t5 = FrozenT5Embedder()
-    with pytest.raises(NotImplementedError, match="not used by any GCD config"):
-        t5(["hello"])
+    t5 = FrozenT5Embedder(d_model=16, d_ff=32, num_layers=1, num_heads=2,
+                          d_kv=8, vocab_size=64)
+    tokens = jnp.zeros((2, 7), jnp.int32)
+    variables = t5.init(jax.random.PRNGKey(0), tokens)
+    z = t5.apply(variables, tokens)
+    assert z.shape == (2, 7, 16)
 
 
 def test_psnr_ssim_sanity():
