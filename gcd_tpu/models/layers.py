@@ -144,8 +144,40 @@ class GEGLU(nn.Module):
         return x * jax.nn.gelu(gate, approximate=False)
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params (kernel/bias) without computing,
+    so fused kernels can consume the raw arrays. Initializers match nn.Dense
+    defaults; the param tree is identical to an nn.Dense at the same name."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _GEGLUParams(nn.Module):
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return _DenseParams(2 * self.dim_out, name="proj")(in_features)
+
+
 class FeedForward(nn.Module):
-    """Transformer MLP; `glu=True` uses GEGLU (attention.py:97)."""
+    """Transformer MLP; `glu=True` uses GEGLU (attention.py:97).
+
+    The GEGLU path runs through ops/fused_mlp.geglu_mlp — a Pallas kernel
+    that keeps the (tokens, 2*inner) up-projection in VMEM instead of
+    round-tripping it through HBM (220 MB per ds1 FF in the SVD UNet). The
+    param tree is unchanged (net_0/proj, net_2), and the op falls back to an
+    identical-math XLA path off-TPU / at indivisible shapes."""
 
     dim_out: Optional[int] = None
     mult: int = 4
@@ -158,10 +190,13 @@ class FeedForward(nn.Module):
         inner = int(dim * self.mult)
         dim_out = self.dim_out if self.dim_out is not None else dim
         if self.glu:
-            h = GEGLU(dim_out=inner, dtype=self.dtype, name="net_0")(x)
-        else:
-            h = nn.Dense(inner, dtype=self.dtype, name="net_0_proj")(x)
-            h = jax.nn.gelu(h, approximate=False)
+            from gcd_tpu.ops.fused_mlp import geglu_mlp
+
+            w1, b1 = _GEGLUParams(inner, name="net_0")(dim)
+            w2, b2 = _DenseParams(dim_out, name="net_2")(inner)
+            return geglu_mlp(x.astype(self.dtype), w1, b1, w2, b2)
+        h = nn.Dense(inner, dtype=self.dtype, name="net_0_proj")(x)
+        h = jax.nn.gelu(h, approximate=False)
         return nn.Dense(dim_out, dtype=self.dtype, name="net_2")(h)
 
 

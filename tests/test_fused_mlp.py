@@ -1,0 +1,87 @@
+"""Fused GEGLU MLP (ops/fused_mlp.py): kernel math vs the reference chain.
+
+On the CPU test backend geglu_mlp dispatches to the XLA path; the Pallas
+kernel body itself is exercised through the TPU interpreter
+(pltpu.force_tpu_interpret_mode), matching what Mosaic executes on-device.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from gcd_tpu.ops.fused_mlp import (
+    _fused_forward,
+    _pick_tiles,
+    _xla_geglu_mlp,
+    geglu_mlp,
+)
+
+
+def _make(m=512, c=64, inner=256, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    x = jax.random.normal(ks[0], (m, c), dtype)
+    w1 = (jax.random.normal(ks[1], (c, 2 * inner), jnp.float32) * 0.05)
+    b1 = jax.random.normal(ks[2], (2 * inner,), jnp.float32) * 0.05
+    w2 = jax.random.normal(ks[3], (inner, c), jnp.float32) * 0.05
+    b2 = jax.random.normal(ks[4], (c,), jnp.float32) * 0.05
+    return x, w1, b1, w2, b2
+
+
+def test_geglu_mlp_matches_flax_chain():
+    from flax import linen as nn
+
+    from gcd_tpu.models.layers import FeedForward
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 10, 32))
+    ff = FeedForward(glu=True)
+    params = jax.jit(ff.init)(jax.random.PRNGKey(1), x)
+    out = ff.apply(params, x)
+
+    # hand-computed reference through the same params
+    p = params["params"]
+    w1, b1 = p["net_0"]["proj"]["kernel"], p["net_0"]["proj"]["bias"]
+    w2, b2 = p["net_2"]["kernel"], p["net_2"]["bias"]
+    up = x @ w1 + b1
+    a, g = np.split(np.asarray(up), 2, axis=-1)
+    from scipy.stats import norm  # exact gelu via Phi
+
+    want = (a * (g * norm.cdf(g))) @ np.asarray(w2) + np.asarray(b2)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_kernel_interpret_matches_xla():
+    x, w1, b1, w2, b2 = _make(m=256, c=64, inner=128)
+    inner = 128
+    wv, wg = w1[:, :inner], w1[:, inner:]
+    with pltpu.force_tpu_interpret_mode():
+        got = _fused_forward(
+            x, wv.astype(x.dtype), wg.astype(x.dtype),
+            b1[:inner].reshape(1, -1), b1[inner:].reshape(1, -1),
+            w2.astype(x.dtype), b2.reshape(1, -1), tt=128, it=64,
+        )
+    want = _xla_geglu_mlp(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_geglu_mlp_grads_flow():
+    x, w1, b1, w2, b2 = _make(m=64, c=32, inner=64)
+
+    def loss(x, w1, b1, w2, b2):
+        return jnp.sum(geglu_mlp(x, w1, b1, w2, b2) ** 2)
+
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(x, w1, b1, w2, b2)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+
+
+def test_pick_tiles_traffic_gate():
+    # ds1 shape: big token count, slim weights -> fused
+    assert _pick_tiles(28 * 1536, 320, 1280) is not None
+    # ds4 shape: few tokens, fat weights -> weight re-reads dominate -> XLA
+    assert _pick_tiles(28 * 96, 1280, 5120) is None
+    # indivisible token count -> XLA
+    assert _pick_tiles(28 * 25, 1280, 5120) is None
