@@ -19,3 +19,5 @@ try:
     from gcd_tpu.models import clip  # noqa: F401
 except ImportError:
     pass
+from gcd_tpu.models import vq  # noqa: F401
+from gcd_tpu.models import discriminator  # noqa: F401

@@ -443,7 +443,7 @@ class AutoencodingEngine:
 
     def init(self, key, img_hw=(64, 64), t: int = 2):
         h, w = img_hw
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         enc_params = self.encoder.init(k1, jnp.zeros((1, h, w, 3)))
         z_ch = self.encoder.z_channels
         dec_kwargs = {}
@@ -452,12 +452,23 @@ class AutoencodingEngine:
         dec_params = self.decoder.init(
             k2, jnp.zeros((t, h // 8, w // 8, z_ch)), **dec_kwargs
         )
-        return {"encoder": enc_params["params"], "decoder": dec_params["params"]}
+        out = {"encoder": enc_params["params"], "decoder": dec_params["params"]}
+        if isinstance(self.regularization, nn.Module):
+            # parameterized regularizer (VQ codebooks, quantize.py:172-302)
+            mo_ch = 2 * z_ch if getattr(self.encoder, "double_z", False) else z_ch
+            out["regularization"] = self.regularization.init(
+                k3, jnp.zeros((1, h // 8, w // 8, mo_ch)))
+        return out
+
+    def _regularize(self, params, moments, key):
+        if isinstance(self.regularization, nn.Module):
+            return self.regularization.apply(params["regularization"], moments)
+        return self.regularization(moments, key=key)
 
     def encode(self, params, x: jnp.ndarray, key: Optional[jax.Array] = None,
                sample_posterior: Optional[bool] = None) -> jnp.ndarray:
         moments = self.encoder.apply({"params": params["encoder"]}, x)
-        z, _ = self.regularization(moments, key=key)
+        z, _ = self._regularize(params, moments, key)
         return z
 
     def encode_moments(self, params, x: jnp.ndarray) -> jnp.ndarray:
@@ -510,7 +521,7 @@ class AutoencodingEngineLegacy(AutoencodingEngine):
         mult = 2 if self.double_z else 1
         quant = nn.Conv(mult * self.embed_dim, (1, 1))
         moments = quant.apply({"params": params["quant_conv"]}, moments)
-        z, _ = self.regularization(moments, key=key)
+        z, _ = self._regularize(params, moments, key)
         return z
 
     def decode(self, params, z: jnp.ndarray, timesteps: Optional[int] = None

@@ -96,11 +96,16 @@ def _kernel(x_ref, wv_ref, wg_ref, bv_ref, bg_ref, w2_ref, b2_ref, o_ref,
             acc_ref):
     ii = pl.program_id(1)
     x = x_ref[...]
-    a = jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
-    a = a + bv_ref[...].astype(jnp.float32)
-    g = jnp.dot(x, wg_ref[...], preferred_element_type=jnp.float32)
-    g = g + bg_ref[...].astype(jnp.float32)
-    h = (a * _erf_gelu(g)).astype(x.dtype)
+    # a/g live in the input dtype — exactly the reference's autocast chain
+    # (torch Linear emits fp16/bf16 activations which F.gelu consumes);
+    # MXU accumulation is f32 either way, and bf16 storage halves VMEM
+    # pressure and VPU work for the gate.
+    a = jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32).astype(
+        x.dtype) + bv_ref[...].astype(x.dtype)
+    g = jnp.dot(x, wg_ref[...], preferred_element_type=jnp.float32).astype(
+        x.dtype) + bg_ref[...].astype(x.dtype)
+    h = (a.astype(jnp.float32) * _erf_gelu(g.astype(jnp.float32))).astype(
+        x.dtype)
     part = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
 
     @pl.when(ii == 0)
