@@ -21,3 +21,4 @@ except ImportError:
     pass
 from gcd_tpu.models import vq  # noqa: F401
 from gcd_tpu.models import discriminator  # noqa: F401
+from gcd_tpu.models import inception  # noqa: F401

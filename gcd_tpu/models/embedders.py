@@ -642,3 +642,76 @@ class FrozenOpenCLIPEmbedder2(_OpenCLIPTextBase):
         if self.always_return_pooled:
             return z, out["pooled"]
         return z
+
+
+@register("sgm.modules.encoders.modules.LowScaleEncoder")
+class LowScaleEncoder(nn.Module):
+    """Noise-augmented low-resolution conditioning encoder
+    (modules.py:906-1000; used by SD-upscaler-style models, not by GCD).
+    Encodes x with a KL autoencoder, draws a random DDPM noise level in
+    [0, max_noise_level) and q-samples the latent to it, then nearest-resizes
+    to `output_size`. Returns (z_t, noise_level)."""
+
+    model_config: Dict = None
+    linear_start: float = 1e-4
+    linear_end: float = 2e-2
+    timesteps: int = 1000
+    max_noise_level: int = 250
+    output_size: Optional[int] = 64
+    scale_factor: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        from gcd_tpu.ops.basic import make_beta_schedule
+        import numpy as np
+
+        cfg = self.model_config or {}
+        params = dict(cfg.get("params", {}))
+        dd = dict(params.get("ddconfig", {}))
+        dd.pop("lossconfig", None)
+        dd.pop("attn_type", None)
+        self._embed_dim = int(params.get("embed_dim", 4))
+        self._double_z = bool(dd.get("double_z", True))
+        self._encoder = VAEEncoder(**dd, dtype=self.dtype, name="encoder")
+        dec_dd = dict(dd)
+        self._decoder_cfg = dec_dd
+        from gcd_tpu.models.vae import Decoder as VAEDecoder
+
+        self._decoder = VAEDecoder(**dec_dd, dtype=self.dtype, name="decoder")
+        mult = 2 if self._double_z else 1
+        self._quant = nn.Conv(mult * self._embed_dim, (1, 1),
+                              dtype=self.dtype, name="quant_conv")
+        self._post_quant = nn.Conv(int(dd.get("z_channels", 4)), (1, 1),
+                                   dtype=self.dtype, name="post_quant_conv")
+
+        betas = make_beta_schedule(
+            "linear", self.timesteps, linear_start=self.linear_start,
+            linear_end=self.linear_end)
+        alphas_cumprod = np.cumprod(1.0 - betas, axis=0)
+        self._sqrt_acp = jnp.asarray(np.sqrt(alphas_cumprod), jnp.float32)
+        self._sqrt_1macp = jnp.asarray(
+            np.sqrt(1.0 - alphas_cumprod), jnp.float32)
+
+    def __call__(self, x: jnp.ndarray):
+        moments = self._quant(self._encoder(x))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+        z = mean + std * jax.random.normal(
+            self.make_rng("gaussian"), mean.shape, dtype=mean.dtype)
+        z = z * self.scale_factor
+        b = x.shape[0]
+        noise_level = jax.random.randint(
+            self.make_rng("noise_level"), (b,), 0, self.max_noise_level)
+        noise = jax.random.normal(self.make_rng("q_noise"), z.shape, z.dtype)
+        sa = self._sqrt_acp[noise_level].reshape(b, 1, 1, 1).astype(z.dtype)
+        s1 = self._sqrt_1macp[noise_level].reshape(b, 1, 1, 1).astype(z.dtype)
+        z = sa * z + s1 * noise
+        if self.output_size is not None:
+            n, h, w, c = z.shape
+            z = jax.image.resize(
+                z, (n, self.output_size, self.output_size, c), method="nearest")
+        return z, noise_level
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        z = z / self.scale_factor
+        return self._decoder(self._post_quant(z))

@@ -150,6 +150,7 @@ class _DenseParams(nn.Module):
     defaults; the param tree is identical to an nn.Dense at the same name."""
 
     features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, in_features: int):
@@ -158,6 +159,8 @@ class _DenseParams(nn.Module):
             nn.initializers.lecun_normal(),
             (in_features, self.features),
         )
+        if not self.use_bias:
+            return k, None
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         return k, b
 

@@ -31,3 +31,15 @@ def timestep_embedding(
             [embedding, jnp.zeros_like(embedding[:, :1])], axis=-1
         )
     return embedding
+
+
+def make_beta_schedule(schedule: str, n_timestep: int,
+                       linear_start: float = 1e-4, linear_end: float = 2e-2):
+    """Linear DDPM beta schedule (diffusionmodules/util.py:20-33); f64 like
+    the reference, returned as a numpy array."""
+    import numpy as np
+
+    if schedule != "linear":
+        raise NotImplementedError(f"beta schedule '{schedule}'")
+    return np.linspace(linear_start**0.5, linear_end**0.5, n_timestep,
+                       dtype=np.float64) ** 2

@@ -51,7 +51,10 @@ def test_geglu_mlp_matches_flax_chain():
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5, rtol=1e-5)
 
 
-def test_fused_kernel_interpret_matches_xla():
+def test_fused_kernel_interpret_matches_xla(monkeypatch):
+    # exact-GELU mode: kernel math must match the reference chain tightly
+    # (default tanh-GELU mode deviates by the documented <0.1% relative).
+    monkeypatch.setenv("GCD_EXACT_GELU", "1")
     x, w1, b1, w2, b2 = _make(m=256, c=64, inner=128)
     inner = 128
     wv, wg = w1[:, :inner], w1[:, inner:]
@@ -64,6 +67,16 @@ def test_fused_kernel_interpret_matches_xla():
     want = _xla_geglu_mlp(x, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+    monkeypatch.delenv("GCD_EXACT_GELU")
+    with pltpu.force_tpu_interpret_mode():
+        got_tanh = _fused_forward(
+            x, wv.astype(x.dtype), wg.astype(x.dtype),
+            b1[:inner].reshape(1, -1), b1[inner:].reshape(1, -1),
+            w2.astype(x.dtype), b2.reshape(1, -1), tt=128, it=64,
+        )
+    scale = float(jnp.abs(want).max())
+    assert float(jnp.abs(got_tanh - want).max()) < 5e-3 * max(scale, 1.0)
 
 
 def test_geglu_mlp_grads_flow():

@@ -86,3 +86,35 @@ def test_miou_and_color_matching():
     pred = ids.copy()
     pred[0] = 0  # half of class-1 rows mislabeled
     assert 0 < miou(pred, ids) < 1.0
+
+
+def test_low_scale_encoder():
+    import jax
+    import jax.numpy as jnp
+
+    from gcd_tpu.models.embedders import LowScaleEncoder
+
+    enc = LowScaleEncoder(
+        model_config={"params": {"embed_dim": 4, "ddconfig": {
+            "ch": 32, "ch_mult": [1, 2], "num_res_blocks": 1,
+            "attn_resolutions": [], "in_channels": 3, "out_ch": 3,
+            "resolution": 32, "z_channels": 4, "double_z": True}}},
+        output_size=8, timesteps=50, max_noise_level=20)
+    x = jnp.ones((2, 32, 32, 3))
+    rngs = {"params": jax.random.PRNGKey(0),
+            "gaussian": jax.random.PRNGKey(1),
+            "noise_level": jax.random.PRNGKey(2),
+            "q_noise": jax.random.PRNGKey(3)}
+
+    def init_all(mdl, x):
+        # trace encode AND decode so both parameter sets are created
+        z, nl = mdl(x)
+        return z, nl, mdl.decode(jnp.zeros((2, 16, 16, 4)))
+
+    variables = jax.jit(lambda: enc.init(rngs, x, method=init_all))()
+    z, nl = enc.apply(variables, x,
+                      rngs={k: v for k, v in rngs.items() if k != "params"})
+    assert z.shape == (2, 8, 8, 4)
+    assert nl.shape == (2,) and int(nl.max()) < 20
+    rec = enc.apply(variables, jnp.zeros((2, 16, 16, 4)), method="decode")
+    assert rec.shape == (2, 32, 32, 3)
