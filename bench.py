@@ -95,7 +95,20 @@ def build_sampler_fn():
 
     ioi2 = jnp.zeros((2, T))
 
-    @jax.jit
+    # Optional XLA compiler-option overrides, e.g.
+    #   GCD_XLA_OPTS="xla_tpu_scoped_vmem_limit_kib=65536,..." python bench.py
+    # (client-side XLA_FLAGS are rejected by the axon tunnel build; per-jit
+    # compiler_options are forwarded to the remote compiler and do apply).
+    import functools
+    import os
+
+    opts = None
+    if os.environ.get("GCD_XLA_OPTS"):
+        opts = dict(kv.split("=", 1)
+                    for kv in os.environ["GCD_XLA_OPTS"].split(","))
+        log(f"compiler_options: {opts}")
+
+    @functools.partial(jax.jit, compiler_options=opts)
     def run_clip(uparams, dparams, key):
         def network(x, c_noise, cond, **extra):
             xin = jnp.concatenate(
@@ -126,7 +139,6 @@ def build_sampler_fn():
                                timesteps=T)
         return frames.astype(jnp.float32)
 
-    import functools
     return functools.partial(run_clip, uparams, dparams)
 
 

@@ -165,12 +165,14 @@ def _fused_forward(x2d, wv, wg, bv, bg, w2, b2, tt: int, it: int):
     )(x2d, wv, wg, bv, bg, w2, b2)
 
 
-def _xla_geglu_mlp(x, w1, b1, w2, b2):
+def _xla_geglu_mlp(x, w1, b1, w2, b2, exact_gelu: bool = True):
     """Reference path (and backward recompute): the pre-fusion flax Dense
-    chain — bf16 storage between the Linears, f32 MXU accumulation inside."""
+    chain — bf16 storage between the Linears, f32 MXU accumulation inside.
+    `exact_gelu=False` matches the fused kernel's default tanh GELU so the
+    recomputed backward is consistent with the forward it differentiates."""
     up = jnp.dot(x, w1.astype(x.dtype)) + b1.astype(x.dtype)
     a, g = jnp.split(up, 2, axis=-1)
-    h = (a * jax.nn.gelu(g, approximate=False)).astype(x.dtype)
+    h = (a * jax.nn.gelu(g, approximate=not exact_gelu)).astype(x.dtype)
     return jnp.dot(h, w2.astype(x.dtype)) + b2.astype(x.dtype)
 
 
@@ -211,8 +213,16 @@ def _fwd(x, w1, b1, w2, b2):
 
 
 def _bwd(res, gout):
+    import os
+
     x, w1, b1, w2, b2 = res
-    _, vjp = jax.vjp(_xla_geglu_mlp, x, w1, b1, w2, b2)
+    # Match the forward's GELU variant: on TPU the fused kernel default is
+    # tanh GELU (unless GCD_EXACT_GELU=1); off-TPU the forward was the exact
+    # XLA chain.
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    exact = (not on_tpu) or os.environ.get("GCD_EXACT_GELU") == "1"
+    _, vjp = jax.vjp(
+        lambda *a: _xla_geglu_mlp(*a, exact_gelu=exact), x, w1, b1, w2, b2)
     return vjp(gout.astype(x.dtype))
 
 

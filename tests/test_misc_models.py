@@ -118,3 +118,50 @@ def test_low_scale_encoder():
     assert nl.shape == (2,) and int(nl.max()) < 20
     rec = enc.apply(variables, jnp.zeros((2, 16, 16, 4)), method="decode")
     assert rec.shape == (2, 32, 32, 3)
+
+
+def test_sgm_util_helpers():
+    from gcd_tpu.utils.misc import (
+        autocast,
+        get_nested_attribute,
+        get_string_from_tuple,
+        is_power_of_two,
+        isheatmap,
+        isimage,
+        ismap,
+        log_txt_as_img,
+        make_path_absolute,
+        mean_flat,
+        partialclass,
+    )
+    import jax.numpy as jnp
+
+    assert is_power_of_two(16) and not is_power_of_two(0) and not is_power_of_two(12)
+    assert get_string_from_tuple("('a', 'b')") == "a"
+    assert get_string_from_tuple("plain") == "plain"
+    x = jnp.ones((2, 3, 4))
+    assert mean_flat(x).shape == (2,)
+    assert ismap(jnp.zeros((1, 4, 4, 7)))
+    assert isimage(jnp.zeros((1, 4, 4, 3)))
+    assert isheatmap(jnp.zeros((4, 4)))
+    assert make_path_absolute("a/b").startswith("/")
+    assert autocast(lambda v: v + 1)(2) == 3
+
+    img = log_txt_as_img((64, 32), ["hello", "world"])
+    assert img.shape == (2, 32, 64, 3)
+    assert -1.0 <= float(img.min()) and float(img.max()) <= 1.0
+
+    class Leaf:
+        v = 7
+
+    class Root:
+        items = [Leaf()]
+
+    assert get_nested_attribute(Root(), "items.0.v") == 7
+
+    class A:
+        def __init__(self, x, y=1):
+            self.x, self.y = x, y
+
+    B = partialclass(A, 5)
+    assert B(y=3).x == 5 and B.__name__ == "A"
