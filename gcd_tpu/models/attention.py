@@ -78,12 +78,13 @@ class CrossAttention(nn.Module):
 
 class TemporalSelfAttention(nn.Module):
     """Self-attention over the T frames of (B*T, S, C) tokens, kept in the
-    natural layout: projections and the output matmul run on (B*T, S, C)
-    (layout-friendly on TPU), and only the q/k/v heads are transposed to
-    (B*S, T, H, D) around the attention core. Equivalent to the reference's
-    rearrange-everything approach (video_attention.py:114) but avoids running
-    LayerNorms/FFs/projections on a transposed tensor, which measurably
-    drops them from ~160 to ~42 TFLOP/s on v5e.
+    natural layout end-to-end: projections and the output matmul run on
+    (B*T, S, C) (layout-friendly on TPU), and the attention core is the
+    transpose-free Pallas kernel in ops/temporal_attention.py. Equivalent to
+    the reference's rearrange-everything approach (video_attention.py:114),
+    which on TPU costs a full-tensor HBM relayout per q/k/v/out — and running
+    LayerNorms/FFs/projections on a transposed tensor measurably drops them
+    from ~160 to ~42 TFLOP/s on v5e.
 
     Parameter names match CrossAttention so converted checkpoints are
     indistinguishable.
@@ -98,21 +99,14 @@ class TemporalSelfAttention(nn.Module):
         query_dim = x.shape[-1]
         inner = self.heads * self.dim_head
         t = timesteps
-        bt, s, _ = x.shape
-        b = bt // t
 
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
 
-        def to_tmaj(z):
-            z = z.reshape(b, t, s, self.heads, self.dim_head)
-            return z.transpose(0, 2, 1, 3, 4).reshape(
-                b * s, t, self.heads, self.dim_head)
+        from gcd_tpu.ops.temporal_attention import temporal_attention
 
-        out = dot_product_attention(to_tmaj(q), to_tmaj(k), to_tmaj(v))
-        out = out.reshape(b, s, t, inner).transpose(0, 2, 1, 3).reshape(
-            bt, s, inner)
+        out = temporal_attention(q, k, v, timesteps=t, heads=self.heads)
         return nn.Dense(query_dim, dtype=self.dtype, name="to_out_0")(out)
 
 

@@ -1,37 +1,31 @@
-"""Fused temporal self-attention in the natural (B*T, S, H*D) token layout.
+"""Pallas TPU temporal attention in the natural token layout.
 
-The reference reshapes tokens to (B*S, T, C) and runs standard attention over
-the T=14 frames (gcd-model/sgm/modules/video_attention.py:114). On TPU that
-reshape is a physical relayout: XLA materializes (b, s, t, h, d) transposes of
-q/k/v/out — ~0.5 ms of HBM copies per temporal layer at ds1 — and the
-projected q/k/v tensors themselves round-trip HBM (3 x 27.5 MB at ds1).
+The temporal transformer attends over the T frames at every spatial location
+(reference: gcd-model/sgm/modules/video_attention.py:15-140, which rearranges
+the whole tensor to (B*S, T, C) around every block). On TPU the rearrange is
+the cost: each (B*T, S, C) <-> (B*S, T, H, D) transpose is a full-tensor HBM
+relayout, and the q/k/v/out set of them dominated temporal-attention wall time
+(xprof: ~10 ms/step of `data formatting` copies in the 14-frame UNet step).
 
-This kernel fuses the whole block: x -> {q,k,v} projections -> frame-to-frame
-attention -> output projection, never leaving VMEM. A grid over
-(video, spatial tile) fetches (T, TS, C) blocks — T consecutive rows of the
-natural layout, no transpose — and computes attention per spatial column on
-the VPU:
+This kernel consumes q/k/v exactly as the projections produce them —
+(B*T, S, C) — and emits the output in the same layout, so the surrounding
+XLA program contains no transposes at all. Inside the kernel:
 
-    logits[u, v, s] = sum_d q[u, s, d] * k[v, s, d]
+  * grid = (video, spatial_block); each step holds the (T, bs, C) slab of one
+    video in VMEM.
+  * spatial positions are processed in packs of 8 (one sublane tile). The
+    (T, 8, D) head-slab reshapes to (T*8, D) for free — the 8-wide sublane
+    tile is the memory layout — giving a dense (T*8, T*8, D) MXU matmul per
+    pack instead of T-by-T matmuls batched over positions (which Mosaic
+    unrolls into thousands of ~14x14x64 passes at ~1% MXU utilization).
+  * rows are t-major within a pack, so frame t of position s attends frame t'
+    of the same position via a striped mask: row i sees col j iff i == j
+    (mod 8). Masked logits get -1e30 before an otherwise ordinary exact
+    softmax (fp32, max-subtracted), which therefore matches the reference's
+    per-position softmax bit-for-bit over the valid entries.
 
-T is tiny (14), so the t^2 unrolled multiply+lane-reduce loop beats both the
-MXU's batched (14x64)@(64x14) matmuls and, decisively, the HBM relayouts it
-replaces. Softmax in f32.
-
-Backward: custom_vjp recomputing through the XLA reference implementation
-(same pattern as ops/flash_attention.py).
-
-STATUS (parked, auto-fallback active): the remote Mosaic compile helper on
-this runtime crashes (HTTP 500, subprocess exit 1, no diagnostics) on the
-full T=14 unrolled kernel; bisection shows the 2D formulation compiles up to
-u<=8 unrolled frame rows and dies at 14, independent of formulation (3D
-stacks fail too), i.e. a kernel-size limit in the helper rather than an
-unsupported op. Spreading u over a third grid dimension would multiply QKV
-projection work; a two-kernel split reintroduces the HBM round trips this
-exists to remove. Also measured: restructuring VideoTransformerBlock to
-t-major-once (the reference layout) regresses end-to-end 4.53 -> 4.37 f/s
-because XLA inserts relayouts around the fused-MLP custom-call boundary.
-Revisit when the compile helper handles larger kernels.
+Backward runs the plain XLA transpose+einsum formulation via custom_vjp
+recompute: the training step pays the relayouts, inference never does.
 """
 
 from __future__ import annotations
@@ -44,155 +38,145 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+NEG_INF = -1e30
 
-def _attn_core(q, k, v, t: int, heads: int, d: int, scale: float):
-    """(T, TS, H*D) q/k/v -> (T, TS, H*D); unrolled VPU attention over T."""
-    outs = []
+# One sublane tile of spatial positions shares each packed matmul.
+_PACK = 8
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, d: int, t: int,
+            scale: float):
+    bs = q_ref.shape[1]
+    packs = bs // _PACK
+    rows = t * _PACK
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    mask = (row % _PACK) == (col % _PACK)
     for h in range(heads):
-        sl = slice(h * d, (h + 1) * d)
-        qh = q[:, :, sl].astype(jnp.float32) * scale  # (T, TS, D)
-        kh = k[:, :, sl].astype(jnp.float32)
-        vh = v[:, :, sl].astype(jnp.float32)
-        logits = jnp.stack(
-            [jnp.sum(qh[u][None, :, :] * kh, axis=-1) for u in range(t)]
-        )  # (T_u, T_v, TS)
-        m = jnp.max(logits, axis=1, keepdims=True)
-        e = jnp.exp(logits - m)
-        p = e / jnp.sum(e, axis=1, keepdims=True)
-        out_h = jnp.stack(
-            [jnp.sum(p[u][:, :, None] * vh, axis=0) for u in range(t)]
-        )  # (T_u, TS, D)
-        outs.append(out_h)
-    return jnp.concatenate(outs, axis=-1)
-
-
-def _kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
-            heads: int, d: int, t: int, scale: float):
-    ts = x_ref.shape[1]
-    c = x_ref.shape[2]
-    hd = heads * d
-    x2 = x_ref[...].reshape(t * ts, c)
-    q = jnp.dot(x2, wq_ref[...], preferred_element_type=jnp.float32).astype(
-        x2.dtype).reshape(t, ts, hd)
-    k = jnp.dot(x2, wk_ref[...], preferred_element_type=jnp.float32).astype(
-        x2.dtype).reshape(t, ts, hd)
-    v = jnp.dot(x2, wv_ref[...], preferred_element_type=jnp.float32).astype(
-        x2.dtype).reshape(t, ts, hd)
-    out = _attn_core(q, k, v, t, heads, d, scale).astype(x2.dtype)
-    o = jnp.dot(out.reshape(t * ts, hd), wo_ref[...],
+        hs = slice(h * d, (h + 1) * d)
+        qh = q_ref[:, :, hs]
+        kh = k_ref[:, :, hs]
+        vh = v_ref[:, :, hs]
+        for g in range(packs):
+            sl = slice(g * _PACK, (g + 1) * _PACK)
+            qg = qh[:, sl, :].reshape(rows, d)
+            kg = kh[:, sl, :].reshape(rows, d)
+            vg = vh[:, sl, :].reshape(rows, d)
+            lg = jax.lax.dot_general(
+                qg, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            lg = jnp.where(mask, lg, NEG_INF)
+            m = jnp.max(lg, -1, keepdims=True)
+            p = jnp.exp(lg - m)
+            p = p / jnp.sum(p, -1, keepdims=True)
+            og = jax.lax.dot_general(
+                p.astype(vg.dtype), vg, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-    o = o + bo_ref[...].astype(jnp.float32)
-    o_ref[...] = o.reshape(t, ts, -1).astype(o_ref.dtype)
+            o_ref[:, sl, hs] = og.reshape(t, _PACK, d).astype(o_ref.dtype)
 
 
-def _xla_temporal(x, wq, wk, wv, wo, bo, t: int, heads: int, scale: float):
-    """Reference path (backward recompute / fallback): project, transpose to
-    (B*S, T, H, D), standard attention, project back."""
-    from gcd_tpu.ops.attention import _xla_attention
-
-    bt, s, c = x.shape
-    b = bt // t
-    hd = wq.shape[1]
-    d = hd // heads
-    q = jnp.dot(x, wq.astype(x.dtype))
-    k = jnp.dot(x, wk.astype(x.dtype))
-    v = jnp.dot(x, wv.astype(x.dtype))
-
-    def tmaj(z):
-        z = z.reshape(b, t, s, heads, d)
-        return z.transpose(0, 2, 1, 3, 4).reshape(b * s, t, heads, d)
-
-    out = _xla_attention(tmaj(q), tmaj(k), tmaj(v), scale=scale)
-    out = out.reshape(b, s, t, hd).transpose(0, 2, 1, 3).reshape(bt, s, hd)
-    return jnp.dot(out, wo.astype(x.dtype)) + bo.astype(x.dtype)
-
-
-def _pick_tile(s: int, c: int, hd: int, t: int) -> Optional[int]:
-    for ts in (256, 192, 128, 96, 64):
-        if s % ts:
+def _pick_block_s(s: int, t: int, c: int, itemsize: int) -> Optional[int]:
+    """Largest spatial block that divides s and keeps the 4 slabs + per-pack
+    temporaries comfortably inside scoped VMEM."""
+    for bs in (128, 64, 32, 16, 8):
+        if s % bs:
             continue
-        # x/out blocks double-buffered + bf16 q/k/v temps + f32 head temps.
-        vmem = (
-            2 * 2 * t * ts * max(c, hd) * 2      # x + out, double-buffered
-            + 3 * t * ts * hd * 2                # q/k/v temps
-            + 4 * t * ts * 64 * 4                # f32 per-head working set
-            + 3 * t * t * ts * 4                 # logit stack
-            + (3 * c * hd + hd * c) * 2          # weight tiles
-        )
-        if vmem <= 12 * 1024 * 1024:
-            return ts
+        slab = t * bs * c * itemsize
+        if 4 * slab <= 8 * 1024 * 1024:
+            return bs
     return None
 
 
-def _fused_forward(x, wq, wk, wv, wo, bo, t, heads, scale, ts):
-    bt, s, c = x.shape
+def _supported(q3, t: int, heads: int) -> bool:
+    bt, s, c = q3.shape
+    if bt % t or c % heads:
+        return False
+    d = c // heads
+    if d % 64 or s % _PACK:
+        return False
+    return _pick_block_s(s, t, c, q3.dtype.itemsize) is not None
+
+
+def _pallas_fwd(q3, k3, v3, t: int, heads: int, scale: float):
+    bt, s, c = q3.shape
     b = bt // t
-    hd = wq.shape[1]
-    d = hd // heads
-    c_out = wo.shape[1]
-    grid = (b, s // ts)
-    blk = lambda ch: pl.BlockSpec((t, ts, ch), lambda bi, si: (bi, si, 0),
-                                  memory_space=pltpu.VMEM)
-    wspec = lambda a, bdim: pl.BlockSpec((a, bdim), lambda bi, si: (0, 0),
-                                         memory_space=pltpu.VMEM)
+    d = c // heads
+    bs = _pick_block_s(s, t, c, q3.dtype.itemsize)
+    spec = pl.BlockSpec((t, bs, c), lambda bi, si: (bi, si, 0),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_kernel, heads=heads, d=d, t=t, scale=scale),
-        grid=grid,
-        in_specs=[
-            blk(c),
-            wspec(c, hd), wspec(c, hd), wspec(c, hd),
-            wspec(hd, c_out),
-            pl.BlockSpec((1, c_out), lambda bi, si: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=blk(c_out),
-        out_shape=jax.ShapeDtypeStruct((bt, s, c_out), x.dtype),
-    )(x, wq, wk, wv, wo, bo)
+        grid=(b, s // bs),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bt, s, c), q3.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(q3, k3, v3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def _temporal_block(x, wq, wk, wv, wo, bo, t: int, heads: int, scale: float):
-    hd = wq.shape[1]
-    ts = _pick_tile(x.shape[1], x.shape[2], hd, t)
-    backend = jax.default_backend()
-    if ts is None or backend not in ("tpu", "axon"):
-        return _xla_temporal(x, wq, wk, wv, wo, bo, t, heads, scale)
-    try:
-        return _fused_forward(x, wq.astype(x.dtype), wk.astype(x.dtype),
-                              wv.astype(x.dtype), wo.astype(x.dtype),
-                              bo.reshape(1, -1), t, heads, scale, ts)
-    except Exception as e:
-        import warnings
+def _xla_temporal(q3, k3, v3, t: int, heads: int, scale: float):
+    """Reference formulation: relayout to (B*S, T, H, D), einsum attention,
+    relayout back. Used off-TPU and as the backward recompute."""
+    bt, s, c = q3.shape
+    b = bt // t
+    d = c // heads
 
-        warnings.warn(f"pallas temporal attention failed, using XLA: {e!r}")
-        return _xla_temporal(x, wq, wk, wv, wo, bo, t, heads, scale)
+    def tm(z):
+        return z.reshape(b, t, s, heads, d).transpose(0, 2, 1, 3, 4)
 
-
-def _fwd(x, wq, wk, wv, wo, bo, t, heads, scale):
-    return _temporal_block(x, wq, wk, wv, wo, bo, t, heads, scale), (
-        x, wq, wk, wv, wo, bo)
+    qh, kh, vh = tm(q3), tm(k3), tm(v3)  # (B, S, T, H, D)
+    logits = jnp.einsum("bsqhd,bskhd->bshqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bshqk,bskhd->bsqhd", w.astype(vh.dtype), vh,
+                     preferred_element_type=jnp.float32).astype(q3.dtype)
+    return out.transpose(0, 2, 1, 3, 4).reshape(bt, s, c)
 
 
-def _bwd(t, heads, scale, res, g):
-    x, wq, wk, wv, wo, bo = res
-    _, vjp = jax.vjp(
-        lambda *a: _xla_temporal(*a, t, heads, scale), x, wq, wk, wv, wo, bo)
-    return vjp(g.astype(x.dtype))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _temporal(q3, k3, v3, t: int, heads: int, scale: float):
+    return _pallas_fwd(q3, k3, v3, t, heads, scale)
 
 
-_temporal_block.defvjp(_fwd, _bwd)
+def _temporal_fwd(q3, k3, v3, t, heads, scale):
+    return _pallas_fwd(q3, k3, v3, t, heads, scale), (q3, k3, v3)
 
 
-def temporal_self_attention_block(
-    x: jnp.ndarray, wq: jnp.ndarray, wk: jnp.ndarray, wv: jnp.ndarray,
-    wo: jnp.ndarray, bo: jnp.ndarray, timesteps: int, heads: int,
+def _temporal_bwd(t, heads, scale, res, g):
+    q3, k3, v3 = res
+    _, vjp = jax.vjp(lambda q, k, v: _xla_temporal(q, k, v, t, heads, scale),
+                     q3, k3, v3)
+    return vjp(g)
+
+
+_temporal.defvjp(_temporal_fwd, _temporal_bwd)
+
+
+def temporal_attention(
+    q3: jnp.ndarray,
+    k3: jnp.ndarray,
+    v3: jnp.ndarray,
+    timesteps: int,
+    heads: int,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Full temporal self-attention block on natural-layout (B*T, S, C)
-    tokens: qkv projection (no bias, attention.py:262-264) -> attention over
-    the T frames -> output projection (with bias). Rows of one video must be
-    consecutive ((b t) flattening — kubric_arbit.py:650)."""
-    hd = wq.shape[1]
-    d = hd // heads
-    scale = float(d**-0.5 if scale is None else scale)
-    return _temporal_block(x, wq, wk, wv, wo, bo, timesteps, heads, scale)
+    """Frame-axis self-attention on (B*T, S, H*D) tokens, output same layout.
+
+    Every spatial position s of video b attends over its T frames — the math
+    of video_attention.py:114's rearranged attention — without any HBM
+    relayout on TPU (see module docstring). Falls back to the XLA
+    formulation when the Pallas kernel does not support the shape or the
+    backend is not a TPU.
+    """
+    from gcd_tpu.ops.attention import _is_tpu_backend
+
+    c = q3.shape[-1]
+    d = c // heads
+    scale = float(d ** -0.5 if scale is None else scale)
+    if _is_tpu_backend() and _supported(q3, timesteps, heads):
+        try:
+            return _temporal(q3, k3, v3, timesteps, heads, scale)
+        except Exception:
+            pass
+    return _xla_temporal(q3, k3, v3, timesteps, heads, scale)

@@ -1,6 +1,8 @@
-"""ops/temporal_attention: fused temporal self-attention block (experimental;
-auto-falls back to the XLA path — the remote Mosaic compile helper currently
-rejects the full-T unrolled kernel, see module docstring)."""
+"""ops/temporal_attention: transpose-free temporal self-attention.
+
+On TPU the Pallas striped-mask kernel runs; on CPU (this suite) the XLA
+fallback runs, and the kernel math is checked in interpret mode.
+"""
 
 import numpy as np
 import jax
@@ -8,68 +10,74 @@ import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
 from gcd_tpu.ops.temporal_attention import (
-    _fused_forward,
+    _pallas_fwd,
     _xla_temporal,
-    temporal_self_attention_block,
+    temporal_attention,
 )
 
 
-def _make(b=2, t=4, s=8, c=16, heads=2, seed=0):
-    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
-    x = jax.random.normal(ks[0], (b * t, s, c))
-    wq = jax.random.normal(ks[1], (c, c)) * 0.2
-    wk = jax.random.normal(ks[2], (c, c)) * 0.2
-    wv = jax.random.normal(ks[3], (c, c)) * 0.2
-    wo = jax.random.normal(ks[4], (c, c)) * 0.2
-    bo = jax.random.normal(ks[5], (c,)) * 0.1
-    return x, wq, wk, wv, wo, bo
+def _make(b=2, t=4, s=16, c=128, heads=2, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (b * t, s, c))
+    k = jax.random.normal(ks[1], (b * t, s, c))
+    v = jax.random.normal(ks[2], (b * t, s, c))
+    return q, k, v
 
 
-def _reference(x, wq, wk, wv, wo, bo, t, heads):
-    """Direct (B*S, T) attention, the reference formulation."""
-    bt, s, c = x.shape
+def _reference(q, k, v, t, heads):
+    """Direct (B*S, T) attention — the rearrange formulation of
+    video_attention.py:114."""
+    bt, s, c = q.shape
     b = bt // t
     d = c // heads
-    q = (x @ wq).reshape(b, t, s, heads, d).transpose(0, 2, 3, 1, 4)
-    k = (x @ wk).reshape(b, t, s, heads, d).transpose(0, 2, 3, 1, 4)
-    v = (x @ wv).reshape(b, t, s, heads, d).transpose(0, 2, 3, 1, 4)
-    logits = np.einsum("bshud,bshvd->bshuv", q, k) * d**-0.5
-    p = jax.nn.softmax(jnp.asarray(logits), axis=-1)
-    out = np.einsum("bshuv,bshvd->bshud", np.asarray(p), v)
-    out = out.transpose(0, 3, 1, 2, 4).reshape(bt, s, c)
-    return out @ wo + bo
+
+    def tm(z):
+        return np.asarray(z).reshape(b, t, s, heads, d).transpose(0, 2, 3, 1, 4)
+
+    qh, kh, vh = tm(q), tm(k), tm(v)  # (B, S, H, T, D)
+    logits = np.einsum("bshud,bshvd->bshuv", qh, kh) * d**-0.5
+    p = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    out = np.einsum("bshuv,bshvd->bshud", p, vh)
+    return out.transpose(0, 3, 1, 2, 4).reshape(bt, s, c)
 
 
 def test_xla_path_matches_reference():
-    x, wq, wk, wv, wo, bo = _make()
-    got = _xla_temporal(x, wq, wk, wv, wo, bo, 4, 2, (16 // 2) ** -0.5)
-    want = _reference(np.asarray(x), np.asarray(wq), np.asarray(wk),
-                      np.asarray(wv), np.asarray(wo), np.asarray(bo), 4, 2)
+    q, k, v = _make()
+    got = _xla_temporal(q, k, v, 4, 2, (128 // 2) ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), _reference(q, k, v, 4, 2),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_kernel_interpret_matches_xla():
+    q, k, v = _make()
+    scale = (128 // 2) ** -0.5
+    with pltpu.force_tpu_interpret_mode():
+        got = _pallas_fwd(q, k, v, 4, 2, scale)
+    want = _xla_temporal(q, k, v, 4, 2, scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
 
 
-def test_fused_kernel_interpret_matches_xla():
-    x, wq, wk, wv, wo, bo = _make()
-    scale = (16 // 2) ** -0.5
+def test_pallas_kernel_interpret_gcd_shape():
+    # The flagship UNet's ds1 shape scaled down: T=14 frames, 5 heads of 64.
+    q, k, v = _make(b=1, t=14, s=24, c=320, heads=5, seed=1)
+    scale = 64.0 ** -0.5
     with pltpu.force_tpu_interpret_mode():
-        got = _fused_forward(x, wq, wk, wv, wo, bo.reshape(1, -1),
-                             t=4, heads=2, scale=scale, ts=8)
-    want = _xla_temporal(x, wq, wk, wv, wo, bo, 4, 2, scale)
+        got = _pallas_fwd(q, k, v, 14, 5, scale)
+    want = _xla_temporal(q, k, v, 14, 5, scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
 
 
 def test_entry_point_and_grads():
-    x, wq, wk, wv, wo, bo = _make()
+    q, k, v = _make()
 
-    def loss(x, wq, wk, wv, wo, bo):
-        return jnp.sum(
-            temporal_self_attention_block(x, wq, wk, wv, wo, bo, 4, 2) ** 2)
+    def loss(q, k, v):
+        return jnp.sum(temporal_attention(q, k, v, 4, 2) ** 2)
 
-    val = jax.jit(loss)(x, wq, wk, wv, wo, bo)
+    val = jax.jit(loss)(q, k, v)
     assert np.isfinite(float(val))
-    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 5)))(x, wq, wk, wv, wo, bo)
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
