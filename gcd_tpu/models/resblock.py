@@ -17,6 +17,8 @@ from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+
+from gcd_tpu.ops.basic import nearest_upsample_2x
 from flax import linen as nn
 
 from gcd_tpu.models.layers import AlphaBlender, GroupNorm32
@@ -37,9 +39,8 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        n, h, w, c = x.shape
-        out_ch = self.out_channels or c
-        x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+        out_ch = self.out_channels or x.shape[-1]
+        x = nearest_upsample_2x(x)
         if self.use_conv:
             x = nn.Conv(
                 out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,

@@ -27,7 +27,7 @@ from flax import linen as nn
 from gcd_tpu.models.layers import LayerNormFp32
 from gcd_tpu.models.video_attention import VideoTransformerBlock
 from gcd_tpu.ops.attention import dot_product_attention
-from gcd_tpu.ops.basic import timestep_embedding
+from gcd_tpu.ops.basic import nearest_upsample_2x, timestep_embedding
 from gcd_tpu.utils.config import register, instantiate_from_config
 
 Dtype = Any
@@ -116,8 +116,8 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        n, h, w, c = x.shape
-        x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+        c = x.shape[-1]
+        x = nearest_upsample_2x(x)
         return nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                        name="conv")(x)
 

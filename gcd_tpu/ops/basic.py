@@ -43,3 +43,14 @@ def make_beta_schedule(schedule: str, n_timestep: int,
         raise NotImplementedError(f"beta schedule '{schedule}'")
     return np.linspace(linear_start**0.5, linear_end**0.5, n_timestep,
                        dtype=np.float64) ** 2
+
+
+def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, 2H, 2W, C) nearest-neighbor upsample via
+    broadcast+reshape. `jax.image.resize(method="nearest")` lowers to a
+    gather, which XLA:TPU turns into a serial while-loop running at ~1 GB/s
+    (measured: 5.4 ms of `while` per 14-frame VAE decode); the broadcast
+    form compiles to plain vectorized copies."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)

@@ -61,11 +61,13 @@ def _mh_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int,
             logits = jnp.where(col < kv_len, logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        # Normalize after the PV matmul: the division then touches (BQ, D)
+        # instead of (BQ, S) — S/D x less VPU work (24x at ds1).
+        denom = jnp.sum(p, axis=-1, keepdims=True)
         oh = jax.lax.dot_general(
             p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) / denom
         outs.append(oh)
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
@@ -113,6 +115,8 @@ def _flash_fwd(q3: jnp.ndarray, k3: jnp.ndarray, v3: jnp.ndarray,
         out_specs=pl.BlockSpec((1, block_q, hd), lambda r, i: (r, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, sq_pad, hd), q3.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1.5 * VMEM_BUDGET_BYTES)),
     )(q3, k3, v3)
     if pad_q:
         out = out[:, :sq]
