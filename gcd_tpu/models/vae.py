@@ -34,18 +34,19 @@ Dtype = Any
 
 
 class VAEGroupNorm(nn.Module):
-    """GroupNorm(32, eps=1e-6) in fp32 (model.py Normalize :52)."""
+    """GroupNorm(32, eps=1e-6) in fp32 (model.py Normalize :52). Uses the
+    MXU-statistics formulation (ops/fused_norm) so the stats reduce is not
+    fused into the producing conv — same param tree as nn.GroupNorm."""
 
     epsilon: float = 1e-6
 
     @nn.compact
     def __call__(self, x):
-        orig = x.dtype
-        out = nn.GroupNorm(num_groups=32, epsilon=self.epsilon, dtype=jnp.float32,
-                           param_dtype=jnp.float32, name="norm")(
-            x.astype(jnp.float32)
-        )
-        return out.astype(orig)
+        from gcd_tpu.models.layers import _NormParams
+        from gcd_tpu.ops.fused_norm import group_norm_silu
+
+        scale, bias = _NormParams(x.shape[-1], name="norm")()
+        return group_norm_silu(x, scale, bias, 32, self.epsilon, False)
 
 
 class ResnetBlock(nn.Module):
@@ -179,21 +180,18 @@ class TemporalResStack(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from gcd_tpu.models.layers import _NormParams
+        from gcd_tpu.ops.fused_norm import group_norm_silu
+
         ks = tuple(self.kernel_size)
         pad = tuple((k // 2, k // 2) for k in ks)
         c = x.shape[-1]
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32, name="in_layers_0")(
-            x.astype(jnp.float32)
-        ).astype(x.dtype)
-        h = nn.silu(h)
+        s0, b0 = _NormParams(c, name="in_layers_0")()
+        h = group_norm_silu(x, s0, b0, 32, 1e-5, True)
         h = nn.Conv(c, ks, padding=pad, dtype=self.dtype, name="in_layers_2")(h)
         # skip_t_emb: emb_out treated as zeros (openaimodel.py:335-336)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32, name="out_layers_0")(
-            h.astype(jnp.float32)
-        ).astype(h.dtype)
-        h = nn.silu(h)
+        s1, b1 = _NormParams(c, name="out_layers_0")()
+        h = group_norm_silu(h, s1, b1, 32, 1e-5, True)
         h = nn.Conv(c, ks, padding=pad, kernel_init=nn.initializers.zeros,
                     dtype=self.dtype, name="out_layers_3")(h)
         return x + h

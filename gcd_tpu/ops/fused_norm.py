@@ -95,14 +95,22 @@ def _reference_groupnorm(x, scale, bias, num_groups, eps, silu):
     small (N, C) tensor, then fold channels into groups. The full activation
     tensor is never reshaped to (..., G, C/G) — splitting the channel (lane)
     dimension forces a relayout on TPU, which measurably slows the UNet
-    (3.19 -> 3.82 frames/s end-to-end on v5e when avoided)."""
+    (3.19 -> 3.82 frames/s end-to-end on v5e when avoided).
+
+    The spatial sums are ones-matvecs rather than reduces: XLA fuses a plain
+    `jnp.sum` reduce into the *producing* convolution (convert_reduce_fusion),
+    and the interleaved VPU reduction drags that conv from ~160 to ~100-120
+    TF/s on v5e. A dot against a ones vector runs the statistics on the MXU
+    as a separate op and leaves the conv pure (measured: GN->SiLU->conv chain
+    2.86 -> 2.03 ms at (28,32,48,320), matching the pure-conv floor)."""
     n = x.shape[0]
     c = x.shape[-1]
     cpg = c // num_groups
     xf = x.astype(jnp.float32).reshape(n, -1, c)
     hw = xf.shape[1]
-    s1 = jnp.sum(xf, axis=1)
-    s2 = jnp.sum(xf * xf, axis=1)
+    ones = jnp.ones((hw,), jnp.float32)
+    s1 = jnp.einsum("nsc,s->nc", xf, ones)
+    s2 = jnp.einsum("nsc,s->nc", xf * xf, ones)
     g1 = s1.reshape(n, num_groups, cpg).sum(-1)
     g2 = s2.reshape(n, num_groups, cpg).sum(-1)
     cnt = hw * cpg
