@@ -97,20 +97,23 @@ def _reference_groupnorm(x, scale, bias, num_groups, eps, silu):
     dimension forces a relayout on TPU, which measurably slows the UNet
     (3.19 -> 3.82 frames/s end-to-end on v5e when avoided).
 
-    The spatial sums are ones-matvecs rather than reduces: XLA fuses a plain
-    `jnp.sum` reduce into the *producing* convolution (convert_reduce_fusion),
-    and the interleaved VPU reduction drags that conv from ~160 to ~100-120
-    TF/s on v5e. A dot against a ones vector runs the statistics on the MXU
-    as a separate op and leaves the conv pure (measured: GN->SiLU->conv chain
-    2.86 -> 2.03 ms at (28,32,48,320), matching the pure-conv floor)."""
+    See the NOTE below on why the spatial sums stay plain reduces."""
     n = x.shape[0]
     c = x.shape[-1]
     cpg = c // num_groups
     xf = x.astype(jnp.float32).reshape(n, -1, c)
     hw = xf.shape[1]
-    ones = jnp.ones((hw,), jnp.float32)
-    s1 = jnp.einsum("nsc,s->nc", xf, ones)
-    s2 = jnp.einsum("nsc,s->nc", xf * xf, ones)
+    # NOTE on the stats reduces: XLA fuses them into the producing conv
+    # (convert_reduce_fusion), dragging it from ~160 to ~100-120 TF/s on
+    # v5e. Both escape hatches measured worse in the full program despite
+    # winning standalone microbenches: (a) dot-with-ones MXU stats matches
+    # the pure-conv floor in isolation but hangs the v5e compiler inside the
+    # 25-step sampler scan (and is silently rewritten back to a reduce
+    # unless the ones vector is barrier-hidden); (b) an optimization_barrier
+    # on x detaches the reduce but blocks the conv's other epilogue fusions
+    # (5.04 -> 4.90 frames/s e2e). The plain form is the best known.
+    s1 = jnp.sum(xf, axis=1)
+    s2 = jnp.sum(xf * xf, axis=1)
     g1 = s1.reshape(n, num_groups, cpg).sum(-1)
     g2 = s2.reshape(n, num_groups, cpg).sum(-1)
     cnt = hw * cpg
