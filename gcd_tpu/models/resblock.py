@@ -94,14 +94,38 @@ class ResBlock(nn.Module):
         ks = tuple(ks)
         pad = _pad_for_kernel(ks)
 
-        h = GroupNorm32(silu=True, name="in_layers_0")(x)
-        if self.up:
-            h = Upsample(use_conv=False, dtype=self.dtype, name="h_upd")(h)
-            x = Upsample(use_conv=False, dtype=self.dtype, name="x_upd")(x)
-        elif self.down:
-            h = Downsample(use_conv=False, dtype=self.dtype, name="h_upd")(h)
-            x = Downsample(use_conv=False, dtype=self.dtype, name="x_upd")(x)
-        h = nn.Conv(out_ch, ks, padding=pad, dtype=self.dtype, name="in_layers_2")(h)
+        # Opt-in: route the plain 2D chains through the fused GN->SiLU->conv3x3
+        # Pallas op (param trees match GroupNorm32 + nn.Conv exactly, so
+        # checkpoints are oblivious). Parked OFF by default: the kernel beats
+        # the isolated XLA chain (0.66 vs 0.79 ms at ds1) but loses in-UNet
+        # (141.8 vs 135.8 ms/step) — the opaque kernel boundary costs XLA more
+        # epilogue fusions around the ResBlock than the fused GN saves.
+        import os
+
+        fused_2d = (os.environ.get("GCD_FUSED_GNCONV") == "1"
+                    and not self.up and not self.down
+                    and ks == (3, 3) and x.ndim == 4)
+        if fused_2d:
+            from gcd_tpu.ops.fused_gn_conv import (
+                Conv3x3Params,
+                GN32Params,
+                gn_silu_conv3x3,
+            )
+
+            nscale, nbias = GN32Params(c, name="in_layers_0")()
+            wk, bk = Conv3x3Params(out_ch, c, name="in_layers_2")()
+            h = gn_silu_conv3x3(x, nscale, nbias, wk.astype(self.dtype),
+                                bk, silu=True)
+        else:
+            h = GroupNorm32(silu=True, name="in_layers_0")(x)
+            if self.up:
+                h = Upsample(use_conv=False, dtype=self.dtype, name="h_upd")(h)
+                x = Upsample(use_conv=False, dtype=self.dtype, name="x_upd")(x)
+            elif self.down:
+                h = Downsample(use_conv=False, dtype=self.dtype, name="h_upd")(h)
+                x = Downsample(use_conv=False, dtype=self.dtype, name="x_upd")(x)
+            h = nn.Conv(out_ch, ks, padding=pad, dtype=self.dtype,
+                        name="in_layers_2")(h)
 
         if self.skip_t_emb:
             emb_out = jnp.zeros_like(h)
@@ -120,13 +144,30 @@ class ResBlock(nn.Module):
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = GroupNorm32(name="out_layers_0")(h) * (1 + scale) + shift
             h = nn.silu(h)
+            h = nn.Conv(
+                out_ch, ks, padding=pad, kernel_init=nn.initializers.zeros,
+                dtype=self.dtype, name="out_layers_3",
+            )(h)
+        elif fused_2d:
+            from gcd_tpu.ops.fused_gn_conv import (
+                Conv3x3Params,
+                GN32Params,
+                gn_silu_conv3x3,
+            )
+
+            h = h + emb_out.astype(h.dtype)
+            nscale, nbias = GN32Params(out_ch, name="out_layers_0")()
+            wk, bk = Conv3x3Params(out_ch, out_ch, zero_init=True,
+                                   name="out_layers_3")()
+            h = gn_silu_conv3x3(h, nscale, nbias, wk.astype(self.dtype),
+                                bk, silu=True)
         else:
             h = h + emb_out.astype(h.dtype)
             h = GroupNorm32(silu=True, name="out_layers_0")(h)
-        h = nn.Conv(
-            out_ch, ks, padding=pad, kernel_init=nn.initializers.zeros,
-            dtype=self.dtype, name="out_layers_3",
-        )(h)
+            h = nn.Conv(
+                out_ch, ks, padding=pad, kernel_init=nn.initializers.zeros,
+                dtype=self.dtype, name="out_layers_3",
+            )(h)
 
         if out_ch == c:
             skip = x

@@ -98,3 +98,27 @@ def test_pick_tiles_traffic_gate():
     assert _pick_tiles(28 * 96, 1280, 5120) is None
     # indivisible token count -> XLA
     assert _pick_tiles(28 * 25, 1280, 5120) is None
+
+
+def test_fused_gn_conv_interpret_parity():
+    """ops/fused_gn_conv: GN->SiLU->conv3x3 kernel vs the plain chain."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gcd_tpu.ops.fused_gn_conv import _fused_forward, _xla_chain
+
+    key = jax.random.PRNGKey(0)
+    for (n, h, w, c, f) in [(2, 8, 16, 128, 256), (1, 8, 24, 320, 320)]:
+        ks = jax.random.split(key, 5)
+        x = jax.random.normal(ks[0], (n, h, w, c))
+        scale = jax.random.normal(ks[1], (c,)) * 0.1 + 1
+        bias = jax.random.normal(ks[2], (c,)) * 0.1
+        wk = jax.random.normal(ks[3], (3, 3, c, f)) * 0.05
+        bk = jax.random.normal(ks[4], (f,)) * 0.1
+        with pltpu.force_tpu_interpret_mode():
+            got = _fused_forward(x, scale, bias, wk, bk, 32, 1e-5, True, f)
+        want = _xla_chain(x, scale, bias, wk, bk, 32, 1e-5, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
