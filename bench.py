@@ -153,21 +153,24 @@ def main():
     log(f"compile+first run: {time.time()-t0:.1f}s, out {out.shape}")
 
     times = []
-    n_iter = 3
+    n_iter = 5
     for i in range(n_iter):
         k = jax.random.fold_in(key, i)
         t0 = time.time()
         run_clip(k).block_until_ready()
         times.append(time.time() - t0)
     clip_time = min(times)
+    p50 = sorted(times)[len(times) // 2]
     fps = T / clip_time
-    log(f"clip times: {['%.2f' % t for t in times]} -> {fps:.2f} frames/s")
+    log(f"clip times: {['%.2f' % t for t in times]} -> {fps:.2f} frames/s, "
+        f"p50 clip latency {p50:.2f}s")
 
     print(json.dumps({
         "metric": "frames/sec/chip, 14f 384x256 25-step EulerEDM + VAE decode",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / A100_EST_FRAMES_PER_SEC, 3),
+        "p50_clip_latency_s": round(p50, 3),
     }))
 
 
