@@ -69,6 +69,10 @@ def dot_product_attention(
     if causal:
         # Only the text towers (seq 77) use causal masking — XLA path.
         return _xla_attention(q, k, v, scale=scale, causal=True)
+    import os
+
+    if os.environ.get("GCD_FLASH") == "0":
+        use_flash = False
     if use_flash is None:
         # >=256 tokens: measured crossover on v5e — at 384 tokens (UNet ds2)
         # the Pallas kernel is ~1.6x faster than XLA's materialized softmax;

@@ -187,9 +187,12 @@ def geglu_mlp(x, w1, b1, w2, b2):
     m = 1
     for d in lead:
         m *= d
+    import os
+
     tiles = _pick_tiles(m, max(c, c_out), inner)
     backend = jax.default_backend()
-    if tiles is None or backend not in ("tpu", "axon"):
+    if (tiles is None or backend not in ("tpu", "axon")
+            or os.environ.get("GCD_FUSED_MLP") == "0"):
         return _xla_geglu_mlp(x, w1, b1, w2, b2)
     tt, it = tiles
     x2d = x.reshape(m, c)

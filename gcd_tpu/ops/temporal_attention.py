@@ -178,7 +178,10 @@ def temporal_attention(
     c = q3.shape[-1]
     d = c // heads
     scale = float(d ** -0.5 if scale is None else scale)
-    if _is_tpu_backend() and _supported(q3, timesteps, heads):
+    import os
+
+    if (_is_tpu_backend() and _supported(q3, timesteps, heads)
+            and os.environ.get("GCD_TATTN_PALLAS") != "0"):
         try:
             return _temporal(q3, k3, v3, timesteps, heads, scale)
         except Exception:
