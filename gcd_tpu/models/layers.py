@@ -43,8 +43,9 @@ class _NormParams(nn.Module):
 
 class GroupNorm32(nn.Module):
     """GroupNorm(32 groups) computed in fp32 regardless of activation dtype,
-    with an optional fused SiLU epilogue. On TPU this dispatches to the Pallas
-    fused kernel (ops/fused_norm.py) when the block fits VMEM."""
+    with an optional fused SiLU epilogue. Runs the channel-first XLA
+    formulation in ops/fused_norm.py (its Pallas kernel is an opt-in via
+    GCD_FUSED_GN=1 — measured slower than XLA's own fusions e2e)."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
