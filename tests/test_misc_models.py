@@ -165,3 +165,16 @@ def test_sgm_util_helpers():
 
     B = partialclass(A, 5)
     assert B(y=3).x == 5 and B.__name__ == "A"
+
+
+def test_nearest_upsample_2x_matches_resize():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gcd_tpu.ops.basic import nearest_upsample_2x
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 7, 3))
+    got = nearest_upsample_2x(x)
+    want = jax.image.resize(x, (2, 10, 14, 3), method="nearest")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
