@@ -73,11 +73,20 @@ def _mh_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int,
 
 
 def _pick_block_q(sq: int, skv_pad: int, hd: int, itemsize: int) -> int:
-    for bq in (512, 256, 128):
+    def vmem_ok(bq):
         # q + out blocks, K/V rows, one head's fp32 logits + exp temp.
         vmem = ((bq + bq + 2 * skv_pad) * hd * itemsize
                 + 2 * bq * skv_pad * 4)
-        if vmem <= VMEM_BUDGET_BYTES and (sq % bq == 0 or bq <= sq):
+        return vmem <= VMEM_BUDGET_BYTES
+
+    # Exact divisors first: a non-dividing block pads the q axis and computes
+    # attention for rows that get sliced away (e.g. 384 tokens at UNet ds2
+    # padded to 512 — 33% wasted work).
+    for bq in (512, 384, 256, 128, 96):
+        if sq % bq == 0 and vmem_ok(bq):
+            return bq
+    for bq in (512, 256, 128):
+        if vmem_ok(bq) and bq <= sq:
             return bq
     return 128
 
