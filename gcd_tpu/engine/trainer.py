@@ -124,21 +124,17 @@ def make_jitted_train_step(engine: DiffusionEngine, opt, mesh=None,
             except Exception:
                 cache["fn"] = jax.jit(step_fn, donate_argnums=donate_args)
         # Trace the training step with the Pallas temporal-attention kernel
-        # disabled (XLA path) unless the user overrides: combining it with
-        # the fused-MLP kernel inside one *grad* program reproducibly
-        # crashes the remote TPU compile helper (HTTP 500, no diagnostics),
-        # while every inference program and each kernel alone compile fine.
-        # Costs ~2% training throughput (380.5 vs ~372 ms/step est.).
-        import os
+        # disabled (XLA path): combining it with the fused-MLP kernel inside
+        # one *grad* program reproducibly crashes the remote TPU compile
+        # helper (HTTP 500, no diagnostics), while every inference program
+        # and each kernel alone compile fine. Costs ~2% training throughput
+        # (380.5 vs ~372 ms/step est.). Thread-local override, so concurrent
+        # eval/sampling traces on other threads keep the kernel; the
+        # GCD_TATTN_PALLAS env var still takes precedence if a user sets it.
+        from gcd_tpu.ops.dispatch import kernel_flags
 
-        prev = os.environ.get("GCD_TATTN_PALLAS")
-        if prev is None:
-            os.environ["GCD_TATTN_PALLAS"] = "0"
-        try:
+        with kernel_flags(tattn_pallas=False):
             return cache["fn"](state, batch, key)
-        finally:
-            if prev is None:
-                del os.environ["GCD_TATTN_PALLAS"]
 
     return wrapper
 

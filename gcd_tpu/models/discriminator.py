@@ -132,7 +132,13 @@ class GeneralLPIPSWithDiscriminator:
     optimizer_idx 0 = generator phase, 1 = discriminator phase (the reference
     drives these through Lightning's alternating optimizers). `d_weight`
     is the adaptive weight (see adaptive_weight_from_grads); defaults to the
-    reference's eval behavior (1.0 past disc_start, 0.0 before).
+    reference's eval behavior (always 1.0 in eval, discriminator_loss.py:252).
+
+    With training=True, __call__ returns (loss, log, new_variables): both
+    discriminator passes run in train mode (BatchNorm normalizes with batch
+    statistics, as the torch reference does under model.train()) and the
+    updated running stats are threaded back to the caller. With
+    training=False it returns (loss, log) and is pure.
     """
 
     def __init__(
@@ -221,17 +227,38 @@ class GeneralLPIPSWithDiscriminator:
         disc_vars = {k: v for k, v in variables.items() if k != "logvar"}
 
         rec_loss = jnp.abs(inputs - reconstructions)
-        if self.perceptual_weight > 0 and lpips_params is not None:
+        if self.perceptual_weight > 0:
+            if lpips_params is None:
+                raise ValueError(
+                    "perceptual_weight > 0 requires lpips_params (pass the "
+                    "loaded LPIPS variables, or construct the loss with "
+                    "perceptual_weight=0)"
+                )
             p = self._perceptual(lpips_params, inputs, reconstructions)
             rec_loss = rec_loss + self.perceptual_weight * p
 
-        active = jnp.asarray(global_step >= self.disc_start, jnp.float32)
+        # Reference gating (discriminator_loss.py:242,280): the GAN terms are
+        # active once global_step >= disc_start OR whenever not training.
+        if training:
+            active = jnp.asarray(global_step >= self.disc_start, jnp.float32)
+        else:
+            active = jnp.asarray(1.0, jnp.float32)
+        new_variables = variables
         log: Dict = {}
         if optimizer_idx == 0:
             nll_loss, weighted_nll = self.get_nll_loss(logvar, rec_loss,
                                                        weights)
-            logits_fake = self.discriminator.apply(
-                disc_vars, reconstructions, training=False)
+            if training:
+                # Torch runs the discriminator under model.train() here too:
+                # BatchNorm normalizes with batch stats and updates the
+                # running averages as a side effect.
+                logits_fake, mut = self.discriminator.apply(
+                    disc_vars, reconstructions, training=True,
+                    mutable=["batch_stats"])
+                new_variables = {**variables, **mut}
+            else:
+                logits_fake = self.discriminator.apply(
+                    disc_vars, reconstructions, training=False)
             g_loss = -jnp.mean(logits_fake)
             if d_weight is None:
                 if training:
@@ -257,21 +284,27 @@ class GeneralLPIPSWithDiscriminator:
                 f"{split}/scalars/logvar": logvar,
                 f"{split}/scalars/d_weight": jnp.asarray(d_weight),
             })
+            if training:
+                return loss, log, new_variables
             return loss, log
         elif optimizer_idx == 1:
             sg = jax.lax.stop_gradient
             if training:
-                # batch-stats updates happen in the discriminator phase only
-                # (the torch version also updates them as a side effect of the
-                # generator forward; consolidated here for functional purity).
-                logits_real, _ = self.discriminator.apply(
+                # Sequential passes as in torch: real first (updates running
+                # stats), then fake against the already-updated stats.
+                logits_real, mut = self.discriminator.apply(
                     disc_vars, sg(inputs), training=True,
                     mutable=["batch_stats"])
+                disc_vars = {**disc_vars, **mut}
+                logits_fake, mut = self.discriminator.apply(
+                    disc_vars, sg(reconstructions), training=True,
+                    mutable=["batch_stats"])
+                new_variables = {**variables, **mut}
             else:
                 logits_real = self.discriminator.apply(
                     disc_vars, sg(inputs), training=False)
-            logits_fake = self.discriminator.apply(
-                disc_vars, sg(reconstructions), training=False)
+                logits_fake = self.discriminator.apply(
+                    disc_vars, sg(reconstructions), training=False)
             d_loss = self.disc_factor * self.disc_loss(logits_real,
                                                        logits_fake) * active
             log = {
@@ -279,5 +312,7 @@ class GeneralLPIPSWithDiscriminator:
                 f"{split}/logits/real": jnp.mean(logits_real),
                 f"{split}/logits/fake": jnp.mean(logits_fake),
             }
+            if training:
+                return d_loss, log, new_variables
             return d_loss, log
         raise NotImplementedError(f"Unknown optimizer_idx {optimizer_idx}")

@@ -100,9 +100,9 @@ class ResBlock(nn.Module):
         # the isolated XLA chain (0.66 vs 0.79 ms at ds1) but loses in-UNet
         # (141.8 vs 135.8 ms/step) — the opaque kernel boundary costs XLA more
         # epilogue fusions around the ResBlock than the fused GN saves.
-        import os
+        from gcd_tpu.ops.dispatch import kernel_enabled
 
-        fused_2d = (os.environ.get("GCD_FUSED_GNCONV") == "1"
+        fused_2d = (kernel_enabled("fused_gn_conv")
                     and not self.up and not self.down
                     and ks == (3, 3) and x.ndim == 4)
         if fused_2d:

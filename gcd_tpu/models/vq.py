@@ -204,8 +204,13 @@ class GumbelQuantizer(nn.Module):
         )
         out_dict: Dict = {}
 
+        # The reference calls F.gumbel_softmax unconditionally
+        # (quantize.py:100), so eval is stochastic too: sample whenever a key
+        # is provided. key=None gives a deterministic (zero-noise) eval — a
+        # deliberate convenience deviation for keyless inference calls.
         if training:
             assert key is not None, "gumbel sampling needs a PRNG key"
+        if key is not None:
             g = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
         else:
             g = jnp.zeros(logits.shape, jnp.float32)

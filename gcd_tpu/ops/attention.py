@@ -69,9 +69,9 @@ def dot_product_attention(
     if causal:
         # Only the text towers (seq 77) use causal masking — XLA path.
         return _xla_attention(q, k, v, scale=scale, causal=True)
-    import os
+    from gcd_tpu.ops.dispatch import kernel_enabled
 
-    if os.environ.get("GCD_FLASH") == "0":
+    if not kernel_enabled("flash"):
         use_flash = False
     if use_flash is None:
         # >=256 tokens: measured crossover on v5e — at 384 tokens (UNet ds2)

@@ -1,0 +1,93 @@
+"""Central kernel-dispatch flags for the Pallas/XLA path choices.
+
+Round 1 scattered per-kernel env-var reads across the ops modules and the
+trainer mutated `os.environ["GCD_TATTN_PALLAS"]` around its jitted call —
+process-global, thread-unsafe state (ADVICE.md round-1, VERDICT.md "Next
+round" #9). This module is now the single source of truth:
+
+  * defaults live in _DEFAULTS;
+  * code overrides them explicitly and thread-locally via
+    `with kernel_flags(tattn_pallas=False): ...` (nestable; innermost wins);
+  * the env vars remain as USER overrides only, taking precedence over both
+    (so `GCD_FLASH=0 python ...` still force-disables a kernel everywhere,
+    and `GCD_TATTN_PALLAS=1` can force it back on inside the trainer).
+
+Flag -> env var -> meaning:
+  flash         GCD_FLASH         Pallas flash spatial attention (ops/attention.py)
+  flash_bwd     GCD_FLASH_BWD     fused flash backward kernel (ops/flash_attention.py)
+  fused_mlp     GCD_FUSED_MLP     fused GEGLU MLP kernel (ops/fused_mlp.py)
+  tattn_pallas  GCD_TATTN_PALLAS  Pallas temporal attention (ops/temporal_attention.py)
+  fused_gn      GCD_FUSED_GN      Pallas GroupNorm (ops/fused_norm.py; opt-in)
+  fused_gn_conv GCD_FUSED_GNCONV  GN->SiLU->conv3x3 kernel (models/resblock.py; opt-in,
+                                  parked: loses e2e to XLA epilogue fusions)
+  exact_gelu    GCD_EXACT_GELU    erf GELU inside fused kernels instead of tanh
+                                  (numerics A/B switch, not a kernel toggle)
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from contextlib import contextmanager
+
+_DEFAULTS = {
+    "flash": True,
+    "flash_bwd": True,
+    "fused_mlp": True,
+    "tattn_pallas": True,
+    "fused_gn": False,
+    "fused_gn_conv": False,
+    "exact_gelu": False,
+}
+
+_ENV = {
+    "flash": "GCD_FLASH",
+    "flash_bwd": "GCD_FLASH_BWD",
+    "fused_mlp": "GCD_FUSED_MLP",
+    "tattn_pallas": "GCD_TATTN_PALLAS",
+    "fused_gn": "GCD_FUSED_GN",
+    "fused_gn_conv": "GCD_FUSED_GNCONV",
+    "exact_gelu": "GCD_EXACT_GELU",
+}
+
+_tls = threading.local()
+
+
+def _stack():
+    stack = getattr(_tls, "stack", None)
+    if stack is None:
+        stack = _tls.stack = []
+    return stack
+
+
+def kernel_enabled(name: str) -> bool:
+    """Effective value of a dispatch flag for the calling thread."""
+    env = os.environ.get(_ENV[name])
+    if env is not None and env != "":
+        return env != "0"
+    for frame in reversed(_stack()):
+        if name in frame:
+            return frame[name]
+    return _DEFAULTS[name]
+
+
+@contextmanager
+def kernel_flags(**flags: bool):
+    """Thread-local flag overrides for the duration of the block.
+
+    Affects only the calling thread: a jit trace running concurrently on
+    another thread sees the defaults (or its own overrides), fixing the
+    round-1 env-mutation race.
+    """
+    unknown = set(flags) - set(_DEFAULTS)
+    if unknown:
+        raise ValueError(
+            f"unknown kernel flag(s) {sorted(unknown)}; "
+            f"known: {sorted(_DEFAULTS)}"
+        )
+    stack = _stack()
+    stack.append(dict(flags))
+    try:
+        yield
+    finally:
+        stack.pop()

@@ -82,6 +82,11 @@ def _pick_block_q(sq: int, skv_pad: int, hd: int, itemsize: int) -> int:
     # Exact divisors first: a non-dividing block pads the q axis and computes
     # attention for rows that get sliced away (e.g. 384 tokens at UNet ds2
     # padded to 512 — 33% wasted work).
+    # TPU-validated (round 2, v5e): admitting 384/96 q-blocks measures
+    # 5.04 f/s on the 14f 384x256 25-step e2e bench vs 5.03 with the
+    # round-1 {512,256,128} chooser — neutral-to-slightly-positive; the
+    # bench crash that followed its round-1 landing was a tunnel wedge,
+    # not this change.
     for bq in (512, 384, 256, 128, 96):
         if sq % bq == 0 and vmem_ok(bq):
             return bq
@@ -276,9 +281,9 @@ def _bwd_available() -> bool:
     pallas compile failure inside a large training-step jit cannot be caught
     at trace time, we gate on a cheap standalone probe instead."""
     global _BWD_PROBE_OK
-    import os
+    from gcd_tpu.ops.dispatch import kernel_enabled
 
-    if os.environ.get("GCD_FLASH_BWD", "1") != "1":
+    if not kernel_enabled("flash_bwd"):
         return False
     if _BWD_PROBE_OK is None:
         try:

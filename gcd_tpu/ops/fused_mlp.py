@@ -98,9 +98,9 @@ def _erf_gelu(x):
     # deviates from exact erf GELU by <0.1% relative, below the bf16 storage
     # rounding of the surrounding activations. GCD_EXACT_GELU=1 restores the
     # erf form (the reference's F.gelu) for strict numerics A/B runs.
-    import os
+    from gcd_tpu.ops.dispatch import kernel_enabled
 
-    if os.environ.get("GCD_EXACT_GELU") == "1":
+    if kernel_enabled("exact_gelu"):
         return _erf_gelu_exact(x)
     return jax.nn.gelu(x, approximate=True)
 
@@ -176,6 +176,26 @@ def _xla_geglu_mlp(x, w1, b1, w2, b2, exact_gelu: bool = True):
     return jnp.dot(h, w2.astype(x.dtype)) + b2.astype(x.dtype)
 
 
+def _forward_plan(m: int, c: int, c_out: int, inner: int):
+    """Single source of truth for the forward's path choice, shared with the
+    recomputed backward (round-1 ADVICE: _bwd re-deriving the variant from
+    backend+env alone mismatched the GCD_FUSED_MLP=0 / tile-fallback cases).
+
+    Returns (tiles_or_None, exact_gelu): tiles is None for the XLA path.
+    The XLA fallback path always uses exact (erf) GELU — except when the plan
+    picked the fused kernel and its lowering later fails, in which case the
+    runtime fallback keeps the kernel's planned variant so forward and
+    recomputed backward still agree.
+    """
+    from gcd_tpu.ops.dispatch import kernel_enabled
+
+    on_accel = jax.default_backend() in ("tpu", "axon")
+    tiles = _pick_tiles(m, max(c, c_out), inner)
+    if tiles is None or not on_accel or not kernel_enabled("fused_mlp"):
+        return None, True
+    return tiles, kernel_enabled("exact_gelu")
+
+
 @jax.custom_vjp
 def geglu_mlp(x, w1, b1, w2, b2):
     """GEGLU MLP: x (..., C), w1 (C, 2*I) [value | gate halves], b1 (2*I,),
@@ -187,13 +207,10 @@ def geglu_mlp(x, w1, b1, w2, b2):
     m = 1
     for d in lead:
         m *= d
-    import os
 
-    tiles = _pick_tiles(m, max(c, c_out), inner)
-    backend = jax.default_backend()
-    if (tiles is None or backend not in ("tpu", "axon")
-            or os.environ.get("GCD_FUSED_MLP") == "0"):
-        return _xla_geglu_mlp(x, w1, b1, w2, b2)
+    tiles, exact = _forward_plan(m, c, c_out, inner)
+    if tiles is None:
+        return _xla_geglu_mlp(x, w1, b1, w2, b2, exact_gelu=exact)
     tt, it = tiles
     x2d = x.reshape(m, c)
     wv = w1[:, :inner].astype(x.dtype)
@@ -207,7 +224,8 @@ def geglu_mlp(x, w1, b1, w2, b2):
         import warnings
 
         warnings.warn(f"fused geglu_mlp lowering failed, using XLA: {e!r}")
-        return _xla_geglu_mlp(x, w1, b1, w2, b2)
+        # Keep the planned variant (see _forward_plan) for bwd consistency.
+        return _xla_geglu_mlp(x, w1, b1, w2, b2, exact_gelu=exact)
     return out.reshape(*lead, c_out)
 
 
@@ -216,14 +234,12 @@ def _fwd(x, w1, b1, w2, b2):
 
 
 def _bwd(res, gout):
-    import os
-
     x, w1, b1, w2, b2 = res
-    # Match the forward's GELU variant: on TPU the fused kernel default is
-    # tanh GELU (unless GCD_EXACT_GELU=1); off-TPU the forward was the exact
-    # XLA chain.
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    exact = (not on_tpu) or os.environ.get("GCD_EXACT_GELU") == "1"
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    tiles, exact = _forward_plan(m, x.shape[-1], w2.shape[1], w2.shape[0])
+    del tiles  # the recompute is always the XLA chain; only the variant matters
     _, vjp = jax.vjp(
         lambda *a: _xla_geglu_mlp(*a, exact_gelu=exact), x, w1, b1, w2, b2)
     return vjp(gout.astype(x.dtype))

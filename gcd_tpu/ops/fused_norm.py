@@ -167,9 +167,8 @@ def group_norm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     neighboring elementwise ops into the norm. The XLA path is therefore the
     default; set GCD_FUSED_GN=1 to re-enable the kernel (e.g. to re-evaluate
     on newer compilers/hardware)."""
-    import os
-
     from gcd_tpu.ops.attention import _is_tpu_backend
+    from gcd_tpu.ops.dispatch import kernel_enabled
 
     c = x.shape[-1]
     hw = 1
@@ -177,7 +176,7 @@ def group_norm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
         hw *= d
     block_bytes = hw * c * (x.dtype.itemsize + 4)  # input + f32 working copy
     if (
-        os.environ.get("GCD_FUSED_GN") == "1"
+        kernel_enabled("fused_gn")
         and _is_tpu_backend()
         and c % num_groups == 0
         and block_bytes <= VMEM_BUDGET_BYTES

@@ -174,14 +174,14 @@ def temporal_attention(
     backend is not a TPU.
     """
     from gcd_tpu.ops.attention import _is_tpu_backend
+    from gcd_tpu.ops.dispatch import kernel_enabled
 
     c = q3.shape[-1]
     d = c // heads
     scale = float(d ** -0.5 if scale is None else scale)
-    import os
 
     if (_is_tpu_backend() and _supported(q3, timesteps, heads)
-            and os.environ.get("GCD_TATTN_PALLAS") != "0"):
+            and kernel_enabled("tattn_pallas")):
         try:
             return _temporal(q3, k3, v3, timesteps, heads, scale)
         except Exception:

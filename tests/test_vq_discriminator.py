@@ -171,11 +171,48 @@ def test_general_lpips_with_discriminator_phases():
     dl, dlog = loss_mod(variables, x, rec, optimizer_idx=1, global_step=10)
     assert np.isfinite(float(dl))
     assert "train/loss/disc" in dlog
-    # before disc_start the discriminator terms are inactive
+    # before disc_start the discriminator terms are inactive — but only while
+    # training (eval always activates them, discriminator_loss.py:242,280)
     loss_mod2 = GeneralLPIPSWithDiscriminator(
         disc_start=100, disc_num_layers=2, perceptual_weight=0.0)
-    dl0, _ = loss_mod2(variables, x, rec, optimizer_idx=1, global_step=10)
+    dl0, _, _ = loss_mod2(variables, x, rec, optimizer_idx=1, global_step=10,
+                          training=True)
     np.testing.assert_allclose(float(dl0), 0.0, atol=1e-7)
+    dl_eval, _ = loss_mod2(variables, x, rec, optimizer_idx=1, global_step=10)
+    assert float(dl_eval) > 0.0
+
+
+def test_discriminator_training_threads_batch_stats():
+    """Train-mode passes must return updated BatchNorm running stats
+    (ADVICE.md round-1 medium finding) and run both passes in train mode."""
+    loss_mod = GeneralLPIPSWithDiscriminator(
+        disc_start=0, disc_num_layers=2, perceptual_weight=0.0)
+    variables = loss_mod.init(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    x = 2.0 + jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    rec = x + 0.1
+
+    dl, _, new_vars = loss_mod(variables, x, rec, optimizer_idx=1,
+                               global_step=10, training=True)
+    assert np.isfinite(float(dl))
+    old_stats = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new_stats = jax.tree_util.tree_leaves(new_vars["batch_stats"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(old_stats, new_stats)), (
+        "discriminator-phase training did not update BatchNorm running stats")
+
+    gl, _, gen_vars = loss_mod(variables, x, rec, optimizer_idx=0,
+                               global_step=10, training=True, d_weight=1.0)
+    assert np.isfinite(float(gl))
+    gen_stats = jax.tree_util.tree_leaves(gen_vars["batch_stats"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(old_stats, gen_stats)), (
+        "generator-phase training did not update BatchNorm running stats")
+
+    # perceptual_weight > 0 without lpips params must be a loud error
+    lm = GeneralLPIPSWithDiscriminator(
+        disc_start=0, disc_num_layers=2, perceptual_weight=1.0)
+    with pytest.raises(ValueError, match="lpips_params"):
+        lm(variables, x, rec, optimizer_idx=0, global_step=10)
 
 
 def test_config_instantiation():
