@@ -11,6 +11,11 @@ import numpy as np
 
 from gcd_tpu.utils.config import register
 
+# Each scheduler also provides `schedule_jnp(n)` — the same formula in jnp
+# ops on a traced step counter, so the schedule can live INSIDE the jitted
+# train step as an optax schedule (the python `schedule` uses data-dependent
+# control flow and only works on concrete ints).
+
 
 @register("sgm.lr_scheduler.LambdaWarmUpCosineScheduler")
 class LambdaWarmUpCosineScheduler:
@@ -34,6 +39,19 @@ class LambdaWarmUpCosineScheduler:
             )
         self.last_lr = lr
         return lr
+
+    def schedule_jnp(self, n):
+        import jax.numpy as jnp
+
+        n = jnp.asarray(n, jnp.float32)
+        warm = (self.lr_max - self.lr_start) / self.lr_warm_up_steps * n \
+            + self.lr_start
+        t = jnp.minimum(
+            (n - self.lr_warm_up_steps)
+            / (self.lr_max_decay_steps - self.lr_warm_up_steps), 1.0)
+        decay = self.lr_min + 0.5 * (self.lr_max - self.lr_min) * (
+            1 + jnp.cos(t * jnp.pi))
+        return jnp.where(n < self.lr_warm_up_steps, warm, decay)
 
     def __call__(self, n):
         return self.schedule(n)
@@ -83,6 +101,39 @@ class LambdaWarmUpCosineScheduler2:
         self.last_f = f
         return f
 
+    def _cycle_arrays(self):
+        import jax.numpy as jnp
+
+        return (
+            jnp.asarray(self.cum_cycles[:-1], jnp.float32),
+            jnp.asarray(self.lr_warm_up_steps, jnp.float32),
+            jnp.asarray(self.f_start, jnp.float32),
+            jnp.asarray(self.f_min, jnp.float32),
+            jnp.asarray(self.f_max, jnp.float32),
+            jnp.asarray(self.cycle_lengths, jnp.float32),
+        )
+
+    def _find_cycle_jnp(self, n):
+        import jax.numpy as jnp
+
+        # find_in_interval: first i with n <= cum_cycles[i+1], clamped to the
+        # last cycle for n beyond the final boundary.
+        bounds = jnp.asarray(self.cum_cycles[1:], jnp.float32)
+        idx = jnp.searchsorted(bounds, n, side="left")
+        return jnp.minimum(idx, len(self.cycle_lengths) - 1)
+
+    def schedule_jnp(self, n):
+        import jax.numpy as jnp
+
+        n = jnp.asarray(n, jnp.float32)
+        cum, warm, f_start, f_min, f_max, cyc_len = self._cycle_arrays()
+        c = self._find_cycle_jnp(n)
+        nc = n - cum[c]
+        rise = (f_max[c] - f_start[c]) / warm[c] * nc + f_start[c]
+        t = jnp.minimum((nc - warm[c]) / (cyc_len[c] - warm[c]), 1.0)
+        decay = f_min[c] + 0.5 * (f_max[c] - f_min[c]) * (1 + jnp.cos(t * jnp.pi))
+        return jnp.where(nc < warm[c], rise, decay)
+
     def __call__(self, n):
         return self.schedule(n)
 
@@ -102,3 +153,14 @@ class LambdaLinearScheduler(LambdaWarmUpCosineScheduler2):
             ) / (self.cycle_lengths[cycle])
         self.last_f = f
         return f
+
+    def schedule_jnp(self, n):
+        import jax.numpy as jnp
+
+        n = jnp.asarray(n, jnp.float32)
+        cum, warm, f_start, f_min, f_max, cyc_len = self._cycle_arrays()
+        c = self._find_cycle_jnp(n)
+        nc = n - cum[c]
+        rise = (f_max[c] - f_start[c]) / warm[c] * nc + f_start[c]
+        lin = f_min[c] + (f_max[c] - f_min[c]) * (cyc_len[c] - nc) / cyc_len[c]
+        return jnp.where(nc < warm[c], rise, lin)

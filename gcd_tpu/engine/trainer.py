@@ -31,19 +31,74 @@ class TrainState(NamedTuple):
     ema: Optional[EmaState]
 
 
+def make_schedule_fn(scheduler_config, base_lr: float):
+    """Build an optax learning-rate schedule from the engine's YAML
+    scheduler_config (reference: diffusion.py:420-430 — LambdaLR over the
+    instantiated scheduler's multiplier). Returns None for no scheduler
+    (constant LR, the shipped configs' behavior)."""
+    if scheduler_config is None:
+        return None
+    from gcd_tpu.utils.config import instantiate_from_config
+
+    sched = instantiate_from_config(scheduler_config)
+    if not hasattr(sched, "schedule_jnp"):
+        raise TypeError(
+            f"scheduler {type(sched).__name__} lacks schedule_jnp(); the "
+            "schedule must be traceable inside the jitted train step"
+        )
+
+    def schedule(step):
+        return base_lr * sched.schedule_jnp(step)
+
+    return schedule
+
+
+def _optax_from_optimizer_config(optimizer_config, lr):
+    """Map the YAML optimizer_config (torch.optim.* targets, reference
+    diffusion.py:412-419) onto the equivalent optax transform.
+
+    torch.optim.Adam's weight_decay is classic L2 folded into the gradient
+    BEFORE the moment updates -> add_decayed_weights ahead of adam in the
+    chain; torch.optim.AdamW decouples it -> optax.adamw.
+    """
+    cfg = optimizer_config or {"target": "torch.optim.AdamW"}
+    target = cfg.get("target", "torch.optim.AdamW")
+    p = dict(cfg.get("params", {}) or {})
+    b1, b2 = p.pop("betas", (0.9, 0.999))
+    eps = float(p.pop("eps", 1e-8))
+    wd = p.pop("weight_decay", None)
+    momentum = p.pop("momentum", None)
+    p.pop("lr", None)  # the YAML base_learning_rate wins (reference behavior)
+    name = target.rsplit(".", 1)[-1].lower()
+    if p:
+        raise ValueError(f"unsupported optimizer params for {target}: {sorted(p)}")
+    if name == "adam":
+        opt = optax.adam(lr, b1=b1, b2=b2, eps=eps)
+        if wd:
+            opt = optax.chain(optax.add_decayed_weights(float(wd)), opt)
+        return opt
+    if name == "adamw":
+        return optax.adamw(lr, b1=b1, b2=b2, eps=eps,
+                           weight_decay=0.01 if wd is None else float(wd))
+    if name == "sgd":
+        return optax.sgd(lr, momentum=momentum)
+    raise ValueError(f"unsupported optimizer target {target!r}")
+
+
 def make_optimizer(engine: DiffusionEngine, params, learning_rate: float,
                    schedule_fn=None,
                    accumulate_steps: int = 1) -> optax.GradientTransformation:
-    """Adam (the shipped configs override AdamW -> Adam, train yaml
-    optimizer_config) with non-trainable params masked out; gradient
-    accumulation via MultiSteps (Lightning accumulate_grad_batches,
+    """Optimizer from the engine's YAML optimizer_config (the shipped configs
+    override the AdamW default to Adam) with non-trainable params masked out;
+    gradient accumulation via MultiSteps (Lightning accumulate_grad_batches,
     main.py:950-955)."""
     mask = engine.trainable_mask(params)
     if schedule_fn is not None:
         lr = schedule_fn
     else:
         lr = learning_rate
-    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    opt = _optax_from_optimizer_config(
+        getattr(engine, "optimizer_config", None), lr)
     opt = optax.masked(opt, mask)
     if accumulate_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=accumulate_steps)

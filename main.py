@@ -81,7 +81,7 @@ def main(argv=None):
         instantiate_from_config, get_by_path,
     )
     from gcd_tpu.engine.trainer import (
-        create_train_state, make_jitted_train_step,
+        create_train_state, make_jitted_train_step, make_schedule_fn,
     )
     from gcd_tpu.engine.image_logger import ImageLogger
     from gcd_tpu.parallel.mesh import create_mesh, shard_params, shard_batch
@@ -209,8 +209,14 @@ def main(argv=None):
     print(f"Mesh: {dict(mesh.shape)} over {n_devices} devices")
     params, _ = shard_params(params, mesh)
 
+    # scheduler_config -> optax schedule (reference diffusion.py:420-430);
+    # None keeps constant LR. The optimizer itself (Adam vs AdamW etc.)
+    # comes from the engine's optimizer_config inside make_optimizer.
+    schedule_fn = make_schedule_fn(
+        getattr(engine, "scheduler_config", None), lr)
     state, optimizer = create_train_state(
-        engine, params, lr, accumulate_steps=accumulate)
+        engine, params, lr, schedule_fn=schedule_fn,
+        accumulate_steps=accumulate)
     step_fn = make_jitted_train_step(engine, optimizer, mesh)
 
     start_step = 0
@@ -267,9 +273,11 @@ def main(argv=None):
                     dt = time.time() - step_t0
                     print(f"step {global_step} epoch {epoch} "
                           f"loss {loss:.4f} ({dt:.2f}s/it)")
+                cur_lr = (float(schedule_fn(global_step))
+                          if schedule_fn is not None else lr)
                 log_metrics({
                     "step": global_step, "epoch": epoch, "loss": loss,
-                    "grad_norm": float(metrics["grad_norm"]), "lr": lr,
+                    "grad_norm": float(metrics["grad_norm"]), "lr": cur_lr,
                 })
 
                 if image_logger.should_log(global_step):
