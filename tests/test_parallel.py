@@ -1,6 +1,8 @@
 """SPMD tests on the 8-device virtual CPU mesh: sharded train step runs and
 matches the single-device step numerically."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,6 +50,47 @@ def test_param_sharding_rules():
     assert "fsdp" in str(sh["big"].spec)
     assert sh["small"].spec == jax.sharding.PartitionSpec()
     assert sh["odd"].spec == jax.sharding.PartitionSpec()
+
+
+def test_emb_mlp_params_stay_replicated():
+    """Per-video embedding MLPs are excluded from fsdp sharding: their tiny
+    activations make the SPMD partitioner reshard the activation instead of
+    gathering the weight (involuntary-remat warnings, VERDICT round-1 #6)."""
+    mesh = create_mesh(data=2, fsdp=4)
+    params = {"model": {
+        "time_embed_0": {"kernel": jnp.zeros((1024, 512))},
+        "aux_label_emb_0": {"kernel": jnp.zeros((1024, 512))},
+        "input_blocks_1_0": {
+            "spatial": {"emb_layers_1": {"kernel": jnp.zeros((1024, 512))},
+                        "in_layers_2": {"kernel": jnp.zeros((1024, 512))}},
+        },
+    }}
+    sh = make_param_shardings(params, mesh, min_weight_size=1024)
+    m = sh["model"]
+    assert m["time_embed_0"]["kernel"].spec == jax.sharding.PartitionSpec()
+    assert m["aux_label_emb_0"]["kernel"].spec == jax.sharding.PartitionSpec()
+    blk = m["input_blocks_1_0"]["spatial"]
+    assert blk["emb_layers_1"]["kernel"].spec == jax.sharding.PartitionSpec()
+    assert "fsdp" in str(blk["in_layers_2"]["kernel"].spec)
+
+
+def test_dryrun_multichip_partitions_without_involuntary_remat():
+    """Run the full driver hook in a fresh process (it reconfigures jax
+    platforms) and assert the SPMD partitioner stays silent: involuntary full
+    rematerialization means an inefficient resharding landmine."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "dryrun_multichip(8) OK" in r.stdout
+    assert "Involuntary full rematerialization" not in r.stderr, (
+        "\n".join(l for l in r.stderr.splitlines() if "Involuntary" in l)[:2000])
 
 
 def test_sharded_train_step_matches_single_device():
