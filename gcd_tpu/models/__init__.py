@@ -21,4 +21,5 @@ except ImportError:
     pass
 from gcd_tpu.models import vq  # noqa: F401
 from gcd_tpu.models import discriminator  # noqa: F401
+from gcd_tpu.models import lpips  # noqa: F401
 from gcd_tpu.models import inception  # noqa: F401

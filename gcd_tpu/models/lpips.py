@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from gcd_tpu.utils.config import register
+
 # Channel counts of the tapped VGG16 stages.
 VGG_STAGES = [64, 128, 256, 512, 512]
 # torchvision VGG16 `features` conv indices per stage.
@@ -107,3 +109,89 @@ def lpips_available(path: Optional[str]) -> bool:
     import os
 
     return bool(path) and os.path.exists(path)
+
+
+@register("sgm.modules.autoencoding.losses.lpips.LatentLPIPS")
+class LatentLPIPS:
+    """Latent-space L2 + decoded-image LPIPS loss
+    (sgm/modules/autoencoding/losses/lpips.py:8-74).
+
+    Functional: the decoder engine and LPIPS net carry no state here; their
+    params are passed per call. `perceptual_weight > 0` requires both
+    `decoder_params` and `lpips_params` (loud error, not a silent drop).
+
+    The `scale_*` flags use jax.image.resize bicubic; the reference's
+    `antialias=True` low-pass is not applied (only relevant when decoder and
+    target resolutions differ, unused by all shipped configs).
+    """
+
+    def __init__(
+        self,
+        decoder_config: Dict,
+        perceptual_weight: float = 1.0,
+        latent_weight: float = 1.0,
+        scale_input_to_tgt_size: bool = False,
+        scale_tgt_to_input_size: bool = False,
+        perceptual_weight_on_inputs: float = 0.0,
+    ):
+        from gcd_tpu.utils.config import instantiate_from_config
+
+        assert not (scale_input_to_tgt_size and scale_tgt_to_input_size)
+        self.decoder = instantiate_from_config(decoder_config)
+        self.perceptual = LPIPS()
+        self.perceptual_weight = perceptual_weight
+        self.latent_weight = latent_weight
+        self.scale_input_to_tgt_size = scale_input_to_tgt_size
+        self.scale_tgt_to_input_size = scale_tgt_to_input_size
+        self.perceptual_weight_on_inputs = perceptual_weight_on_inputs
+
+    def __call__(
+        self,
+        latent_inputs: jnp.ndarray,
+        latent_predictions: jnp.ndarray,
+        image_inputs: Optional[jnp.ndarray] = None,
+        split: str = "train",
+        decoder_params=None,
+        lpips_params=None,
+    ):
+        """All images/latents NHWC. Returns (loss, log) like the reference."""
+        log = {}
+        loss = (latent_inputs - latent_predictions) ** 2
+        log[f"{split}/latent_l2_loss"] = loss.mean()
+
+        needs_decode = (self.perceptual_weight > 0.0
+                        or self.perceptual_weight_on_inputs > 0.0)
+        if needs_decode and (decoder_params is None or lpips_params is None):
+            raise ValueError(
+                "LatentLPIPS with perceptual terms needs decoder_params and "
+                "lpips_params")
+
+        recons = None
+        if self.perceptual_weight > 0.0:
+            recons = self.decoder.decode(decoder_params, latent_predictions)
+            targets = self.decoder.decode(decoder_params, latent_inputs)
+            p = self.perceptual.apply({"params": lpips_params}, targets,
+                                      recons)
+            loss = (self.latent_weight * loss.mean()
+                    + self.perceptual_weight * p.mean())
+            log[f"{split}/perceptual_loss"] = p.mean()
+
+        if self.perceptual_weight_on_inputs > 0.0:
+            assert image_inputs is not None
+            if recons is None:
+                recons = self.decoder.decode(decoder_params,
+                                             latent_predictions)
+            if self.scale_input_to_tgt_size:
+                image_inputs = jax.image.resize(
+                    image_inputs,
+                    image_inputs.shape[:1] + recons.shape[1:],
+                    method="bicubic")
+            elif self.scale_tgt_to_input_size:
+                recons = jax.image.resize(
+                    recons, recons.shape[:1] + image_inputs.shape[1:],
+                    method="bicubic")
+            p2 = self.perceptual.apply({"params": lpips_params},
+                                       image_inputs, recons)
+            loss = loss + self.perceptual_weight_on_inputs * p2.mean()
+            log[f"{split}/perceptual_loss_on_inputs"] = p2.mean()
+        return loss, log

@@ -102,6 +102,21 @@ class ResBlock(nn.Module):
         # epilogue fusions around the ResBlock than the fused GN saves.
         from gcd_tpu.ops.dispatch import kernel_enabled
 
+        def conv(features, name, zero_init=False):
+            """nn.Conv, except (kt,1,1) temporal kernels route through the
+            im2col-matmul formulation (ops/temporal_conv.py) — identical param
+            tree and math, ~2.5x faster than XLA's 3D conv on v5e."""
+            if len(ks) == 3 and ks[1:] == (1, 1):
+                from gcd_tpu.ops.temporal_conv import TemporalConvK11
+
+                return TemporalConvK11(features=features, kt=ks[0],
+                                       zero_init=zero_init, dtype=self.dtype,
+                                       name=name)
+            kinit = (nn.initializers.zeros if zero_init
+                     else nn.initializers.lecun_normal())
+            return nn.Conv(features, ks, padding=pad, kernel_init=kinit,
+                           dtype=self.dtype, name=name)
+
         fused_2d = (kernel_enabled("fused_gn_conv")
                     and not self.up and not self.down
                     and ks == (3, 3) and x.ndim == 4)
@@ -124,8 +139,7 @@ class ResBlock(nn.Module):
             elif self.down:
                 h = Downsample(use_conv=False, dtype=self.dtype, name="h_upd")(h)
                 x = Downsample(use_conv=False, dtype=self.dtype, name="x_upd")(x)
-            h = nn.Conv(out_ch, ks, padding=pad, dtype=self.dtype,
-                        name="in_layers_2")(h)
+            h = conv(out_ch, "in_layers_2")(h)
 
         if self.skip_t_emb:
             emb_out = jnp.zeros_like(h)
@@ -144,10 +158,7 @@ class ResBlock(nn.Module):
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = GroupNorm32(name="out_layers_0")(h) * (1 + scale) + shift
             h = nn.silu(h)
-            h = nn.Conv(
-                out_ch, ks, padding=pad, kernel_init=nn.initializers.zeros,
-                dtype=self.dtype, name="out_layers_3",
-            )(h)
+            h = conv(out_ch, "out_layers_3", zero_init=True)(h)
         elif fused_2d:
             from gcd_tpu.ops.fused_gn_conv import (
                 Conv3x3Params,
@@ -164,10 +175,7 @@ class ResBlock(nn.Module):
         else:
             h = h + emb_out.astype(h.dtype)
             h = GroupNorm32(silu=True, name="out_layers_0")(h)
-            h = nn.Conv(
-                out_ch, ks, padding=pad, kernel_init=nn.initializers.zeros,
-                dtype=self.dtype, name="out_layers_3",
-            )(h)
+            h = conv(out_ch, "out_layers_3", zero_init=True)(h)
 
         if out_ch == c:
             skip = x

@@ -186,14 +186,26 @@ class TemporalResStack(nn.Module):
         ks = tuple(self.kernel_size)
         pad = tuple((k // 2, k // 2) for k in ks)
         c = x.shape[-1]
+
+        def conv(name, zero_init=False):
+            if len(ks) == 3 and ks[1:] == (1, 1):
+                from gcd_tpu.ops.temporal_conv import TemporalConvK11
+
+                return TemporalConvK11(features=c, kt=ks[0],
+                                       zero_init=zero_init, dtype=self.dtype,
+                                       name=name)
+            kinit = (nn.initializers.zeros if zero_init
+                     else nn.initializers.lecun_normal())
+            return nn.Conv(c, ks, padding=pad, kernel_init=kinit,
+                           dtype=self.dtype, name=name)
+
         s0, b0 = _NormParams(c, name="in_layers_0")()
         h = group_norm_silu(x, s0, b0, 32, 1e-5, True)
-        h = nn.Conv(c, ks, padding=pad, dtype=self.dtype, name="in_layers_2")(h)
+        h = conv("in_layers_2")(h)
         # skip_t_emb: emb_out treated as zeros (openaimodel.py:335-336)
         s1, b1 = _NormParams(c, name="out_layers_0")()
         h = group_norm_silu(h, s1, b1, 32, 1e-5, True)
-        h = nn.Conv(c, ks, padding=pad, kernel_init=nn.initializers.zeros,
-                    dtype=self.dtype, name="out_layers_3")(h)
+        h = conv("out_layers_3", zero_init=True)(h)
         return x + h
 
 
@@ -229,6 +241,67 @@ class DecoderVideoResBlock(nn.Module):
         return out.reshape(bt, h, w, c)
 
 
+class VideoAttnBlock(nn.Module):
+    """Spatio-temporal attention block for the VideoDecoder's attn/"all" time
+    modes: the reference's VideoBlock / MemoryEfficientVideoBlock
+    (temporal_ae.py:110-178 / :180-245 — numerically identical, they differ
+    only in the torch attention backend). Spatial single-head attention (the
+    AttnBlock core), then a parallel temporal branch: learned frame-position
+    embedding + single-head temporal transformer (ff_in=True, no context), and
+    an alpha merge where alpha weights the *spatial* branch, followed by
+    proj_out and the outer residual."""
+
+    alpha: float = 0.0
+    merge_strategy: str = "learned"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, timesteps: int) -> jnp.ndarray:
+        t = timesteps
+        bt, hh, ww, c = x.shape
+        x_in = x
+
+        hn = VAEGroupNorm(name="norm")(x)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(hn)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(hn)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(hn)
+        h = dot_product_attention(
+            q.reshape(bt, hh * ww, 1, c),
+            k.reshape(bt, hh * ww, 1, c),
+            v.reshape(bt, hh * ww, 1, c),
+        ).reshape(bt, hh * ww, c)
+
+        # Frame-position embedding added to the temporal branch only
+        # (temporal_ae.py:151-157): sinusoidal embed of the frame index
+        # through a Linear-SiLU-Linear MLP.
+        frame_idx = jnp.tile(jnp.arange(t, dtype=jnp.float32), bt // t)
+        temb = timestep_embedding(frame_idx, c)
+        emb = nn.Dense(4 * c, dtype=self.dtype, name="video_time_embed_0")(temb)
+        emb = nn.Dense(c, dtype=self.dtype,
+                       name="video_time_embed_2")(nn.silu(emb))
+        x_mix = h + emb[:, None, :].astype(h.dtype)
+
+        x_mix = VideoTransformerBlock(
+            n_heads=1, d_head=c, ff_in=True, dtype=self.dtype,
+            name="time_mix_block",
+        )(x_mix, timesteps=t)
+
+        if self.merge_strategy == "fixed":
+            alpha = jnp.asarray(self.alpha, dtype=jnp.float32)
+        elif self.merge_strategy == "learned":
+            mix = self.param("mix_factor",
+                             lambda _: jnp.full((1,), self.alpha, jnp.float32))
+            alpha = jax.nn.sigmoid(mix)[0]
+        else:
+            raise ValueError(f"unknown merge strategy {self.merge_strategy}")
+        alpha = alpha.astype(h.dtype)
+        h = alpha * h + (1.0 - alpha) * x_mix
+
+        h = h.reshape(bt, hh, ww, c)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return x_in + h
+
+
 class AE3DConvOut(nn.Module):
     """2D conv + temporal mix conv for the decoder output (temporal_ae.py:86-107)."""
 
@@ -245,8 +318,14 @@ class AE3DConvOut(nn.Module):
         ks = tuple(self.video_kernel_size)
         pad = tuple((k // 2, k // 2) for k in ks)
         x = x.reshape(bt // t, t, h, w, c)
-        x = nn.Conv(self.out_channels, ks, padding=pad, dtype=self.dtype,
-                    name="time_mix_conv")(x)
+        if len(ks) == 3 and ks[1:] == (1, 1):
+            from gcd_tpu.ops.temporal_conv import TemporalConvK11
+
+            x = TemporalConvK11(features=self.out_channels, kt=ks[0],
+                                dtype=self.dtype, name="time_mix_conv")(x)
+        else:
+            x = nn.Conv(self.out_channels, ks, padding=pad, dtype=self.dtype,
+                        name="time_mix_conv")(x)
         return x.reshape(bt, h, w, c)
 
 
@@ -306,10 +385,17 @@ class Decoder(nn.Module):
 
 @register("sgm.modules.autoencoding.temporal_ae.VideoDecoder")
 class VideoDecoder(nn.Module):
-    """SVD temporal decoder, time_mode='conv-only' (temporal_ae.py:293-349).
+    """SVD temporal decoder (temporal_ae.py:293-349).
 
     `timesteps` is the number of frames decoded together (the reference's
-    `decoding_t` chunk size); it must divide the batch."""
+    `decoding_t` chunk size); it must divide the batch.
+
+    time_mode selects which components get temporal branches
+    (temporal_ae.py:294,324-349):
+      * "conv-only" (the GCD/SVD default): VideoResBlocks + AE3DConv out,
+        plain spatial attention;
+      * "attn-only": plain ResnetBlocks + plain conv out, VideoAttnBlocks;
+      * "all": VideoResBlocks + AE3DConv out + VideoAttnBlocks."""
 
     ch: int = 128
     ch_mult: Sequence[int] = (1, 2, 4, 4)
@@ -332,7 +418,9 @@ class VideoDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, timesteps: Optional[int] = None) -> jnp.ndarray:
-        assert self.time_mode == "conv-only", "GCD uses conv-only time mode"
+        assert self.time_mode in ("all", "conv-only", "attn-only"), (
+            f"time_mode must be one of all/conv-only/attn-only, got "
+            f"{self.time_mode!r}")
         vks = self.video_kernel_size
         if isinstance(vks, int):
             vks = (vks, vks, vks)
@@ -344,16 +432,32 @@ class VideoDecoder(nn.Module):
         block_in = self.ch * self.ch_mult[-1]
         curr_res = self.resolution // 2 ** (num_res - 1)
 
+        video_res = self.time_mode != "attn-only"
+        video_attn = self.time_mode != "conv-only"
+
         def res(name, out_ch=None):
-            return DecoderVideoResBlock(
+            if not video_res:
+                blk = ResnetBlock(out_channels=out_ch, dtype=self.dtype,
+                                  name=name)
+                return lambda x, _t: blk(x)
+            blk = DecoderVideoResBlock(
                 out_channels=out_ch, video_kernel_size=vks, alpha=self.alpha,
                 merge_strategy=self.merge_strategy, dtype=self.dtype, name=name,
             )
+            return blk
+
+        def attn(name):
+            if not video_attn:
+                blk = AttnBlock(dtype=self.dtype, name=name)
+                return lambda x, _t: blk(x)
+            return VideoAttnBlock(alpha=self.alpha,
+                                  merge_strategy=self.merge_strategy,
+                                  dtype=self.dtype, name=name)
 
         h = nn.Conv(block_in, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                     name="conv_in")(z)
         h = res("mid_block_1")(h, timesteps)
-        h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
+        h = attn("mid_attn_1")(h, timesteps)
         h = res("mid_block_2")(h, timesteps)
 
         for i_level in reversed(range(num_res)):
@@ -361,8 +465,7 @@ class VideoDecoder(nn.Module):
             for i_block in range(self.num_res_blocks + 1):
                 h = res(f"up_{i_level}_block_{i_block}", block_out)(h, timesteps)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype,
-                                  name=f"up_{i_level}_attn_{i_block}")(h)
+                    h = attn(f"up_{i_level}_attn_{i_block}")(h, timesteps)
             if i_level != 0:
                 h = Upsample(dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
@@ -371,8 +474,12 @@ class VideoDecoder(nn.Module):
             return h
         h = VAEGroupNorm(name="norm_out")(h)
         h = nn.silu(h)
-        h = AE3DConvOut(self.out_ch, video_kernel_size=vks, dtype=self.dtype,
-                        name="conv_out")(h, timesteps)
+        if self.time_mode == "attn-only":
+            h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name="conv_out")(h)
+        else:
+            h = AE3DConvOut(self.out_ch, video_kernel_size=vks,
+                            dtype=self.dtype, name="conv_out")(h, timesteps)
         if self.tanh_out:
             h = jnp.tanh(h)
         return h

@@ -67,6 +67,15 @@ class VideoTransformerBlock(nn.Module):
         b = bt // t
 
         def cross_to_context(h, name):
+            if context is None:
+                # attn_cls with context=None self-attends over the (b s) t c
+                # layout (video_attention.py:84-90,128-131) — i.e. temporal
+                # self-attention per pixel. Used by the VAE VideoBlock, whose
+                # time_mix_block gets no context (temporal_ae.py:160-161).
+                return TemporalSelfAttention(
+                    heads=self.n_heads, dim_head=self.d_head, dtype=self.dtype,
+                    name=name,
+                )(h, timesteps=t)
             # (B*T, S, C) -> (B, T*S, C) is a free reshape; context keys are
             # per-video so this is exactly the reference's per-pixel temporal
             # cross-attention.

@@ -22,6 +22,8 @@ Flag -> env var -> meaning:
                                   parked: loses e2e to XLA epilogue fusions)
   exact_gelu    GCD_EXACT_GELU    erf GELU inside fused kernels instead of tanh
                                   (numerics A/B switch, not a kernel toggle)
+  tconv_matmul  GCD_TCONV_MATMUL  (kt,1,1) temporal convs as im2col matmuls
+                                  (ops/temporal_conv.py)
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ _DEFAULTS = {
     "fused_gn": False,
     "fused_gn_conv": False,
     "exact_gelu": False,
+    "tconv_matmul": True,
 }
 
 _ENV = {
@@ -48,6 +51,7 @@ _ENV = {
     "fused_gn": "GCD_FUSED_GN",
     "fused_gn_conv": "GCD_FUSED_GNCONV",
     "exact_gelu": "GCD_EXACT_GELU",
+    "tconv_matmul": "GCD_TCONV_MATMUL",
 }
 
 _tls = threading.local()

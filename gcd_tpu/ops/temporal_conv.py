@@ -1,0 +1,93 @@
+"""Temporal (kt,1,1) convolutions as MXU matmuls.
+
+The UNet's VideoResBlock `time_stack` and the VideoDecoder's temporal convs
+are 3D convs with kernel [3,1,1] on (B, T, H, W, C) videos
+(video_model.py:12-82, temporal_ae.py:33-45,86-107 — GCD configs set
+`video_kernel_size: [3, 1, 1]` everywhere). XLA lowers them as real
+convolutions; profiled on v5e they reach only ~50-67 TF/s (the T window of 3
+and the (2,14,H,W,C) layout tile the MXU poorly) while the equivalent
+matmuls run at ~160+ TF/s, and these convs are ~13% of the sampling step.
+
+A (kt,1,1) conv is exactly an im2col over T: concatenate the kt T-shifted
+(zero-padded) copies of the input along channels and do ONE matmul with the
+(kt*C, Co) reshaped kernel — contraction dim kt*C keeps the MXU busy, and
+XLA fuses the shift/concat into the matmul's LHS read.
+
+`TemporalConvK11` is a drop-in for `nn.Conv(features, (kt,1,1), SAME)`:
+identical param tree (kernel (kt,1,1,C,Co), bias (Co,)), identical init,
+identical math — checkpoints and converters are oblivious. Dispatch between
+the matmul path and nn.Conv is the `tconv_matmul` kernel flag.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _tshift(x: jnp.ndarray, off: int) -> jnp.ndarray:
+    """out[:, t] = x[:, t + off], zero-padded at the T boundaries."""
+    if off == 0:
+        return x
+    if off > 0:
+        return jnp.concatenate(
+            [x[:, off:], jnp.zeros_like(x[:, :off])], axis=1)
+    return jnp.concatenate(
+        [jnp.zeros_like(x[:, off:]), x[:, :off]], axis=1)
+
+
+def temporal_conv_k11(x: jnp.ndarray, kernel: jnp.ndarray,
+                      bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """SAME-padded (kt,1,1) conv on (B, T, H, W, C) via one im2col matmul.
+
+    kernel: (kt, 1, 1, C, Co) in nn.Conv HWIO-style layout; tap i reads
+    frame t + (i - kt//2), matching SAME zero padding.
+    """
+    kt, k1, k2, c, co = kernel.shape
+    assert k1 == 1 and k2 == 1, kernel.shape
+    b, t, h, w, _ = x.shape
+    center = kt // 2
+    xcat = jnp.concatenate(
+        [_tshift(x, i - center) for i in range(kt)], axis=-1)
+    out = xcat.reshape(b * t * h * w, kt * c) @ kernel.reshape(kt * c, co)
+    if bias is not None:
+        out = out + bias
+    return out.reshape(b, t, h, w, co)
+
+
+class TemporalConvK11(nn.Module):
+    """nn.Conv(features, (kt,1,1), SAME)-compatible module that runs the
+    matmul formulation when the `tconv_matmul` dispatch flag is on."""
+
+    features: int
+    kt: int = 3
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        kinit = (nn.initializers.zeros if self.zero_init
+                 else nn.initializers.lecun_normal())
+        kernel = self.param("kernel", kinit, (self.kt, 1, 1, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        from gcd_tpu.ops.dispatch import kernel_enabled
+
+        if not kernel_enabled("tconv_matmul"):
+            import jax.lax as lax
+
+            pad = ((self.kt // 2, (self.kt - 1) // 2), (0, 0), (0, 0))
+            out = lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(1, 1, 1), padding=pad,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            return out + bias.astype(self.dtype)
+        return temporal_conv_k11(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            bias.astype(self.dtype))

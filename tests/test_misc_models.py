@@ -178,3 +178,46 @@ def test_nearest_upsample_2x_matches_resize():
     got = nearest_upsample_2x(x)
     want = jax.image.resize(x, (2, 10, 14, 3), method="nearest")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_latent_lpips():
+    """LatentLPIPS (autoencoding/losses/lpips.py:8): latent L2 + decoded
+    LPIPS; loud error when perceptual params are missing."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from gcd_tpu.models.lpips import LPIPS
+    from gcd_tpu.utils.config import instantiate_from_config
+
+    dd = dict(ch=32, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[],
+              z_channels=4, double_z=True, in_channels=3, out_ch=3,
+              resolution=32, dropout=0.0)
+    m = instantiate_from_config({
+        "target": "sgm.modules.autoencoding.losses.lpips.LatentLPIPS",
+        "params": {
+            "decoder_config": {
+                "target": "sgm.models.autoencoder.AutoencoderKL",
+                "params": {"embed_dim": 4, "ddconfig": dd,
+                           "lossconfig": {"target": "torch.nn.Identity"}},
+            },
+            "perceptual_weight": 1.0, "latent_weight": 1.0,
+        },
+    })
+    key = jax.random.PRNGKey(0)
+    dec_params = m.decoder.init(key, img_hw=(32, 32))
+    lp = LPIPS()
+    img = jax.random.normal(key, (2, 32, 32, 3))
+    lp_params = lp.init(key, img, img)["params"]
+
+    za = jax.random.normal(key, (2, 16, 16, 4))
+    zb = za + 0.1
+    loss, log = m(za, zb, decoder_params=dec_params, lpips_params=lp_params)
+    assert jnp.isfinite(loss).all()
+    assert "train/latent_l2_loss" in log and "train/perceptual_loss" in log
+    # identical latents -> zero latent and perceptual terms
+    loss0, _ = m(za, za, decoder_params=dec_params, lpips_params=lp_params)
+    assert float(loss0) < 1e-5
+
+    with pytest.raises(ValueError):
+        m(za, zb)
