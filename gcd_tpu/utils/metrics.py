@@ -154,3 +154,66 @@ def sample_diversity(samples: Sequence[np.ndarray]) -> float:
         return 0.0
     stack = np.stack(samples)
     return float(stack.std(axis=0).mean())
+
+
+def clip_metrics(pred_samples: Sequence[np.ndarray], gt: np.ndarray,
+                 reproject: Optional[np.ndarray] = None,
+                 mask_threshold: float = 0.05):
+    """Per-frame x per-sample metrics for the rich eval galleries
+    (test.py:346-496). All videos (T, H, W, 3) float32 in [0, 1].
+
+    Returns (metrics_dict, uncertainty):
+      frame_psnr/frame_ssim              (S, T)
+      frame_{psnr,ssim}_{vis,occ}        (S, T)   when reproject is given
+      frame_diversity[_vis,_occ]         (T,)
+      mean_* scalars per sample          (S,) and mean_diversity float
+      uncertainty                        (T, H, W) pixel std across samples
+    """
+    s = len(pred_samples)
+    assert s >= 1
+    stack = np.stack(pred_samples)  # (S, T, H, W, 3)
+    t = gt.shape[0]
+
+    if reproject is not None:
+        # Holes are (near-)black after splat+blur (test.py:365-371 uses an
+        # exact-zero test on the f64 splat; the f32 LSE splat needs a small
+        # threshold).
+        vis_mask = reproject.sum(-1) > mask_threshold  # (T, H, W)
+        occ_mask = ~vis_mask
+
+    md = {}
+    md["frame_psnr"] = np.array(
+        [[psnr(p[i], gt[i]) for i in range(t)] for p in pred_samples])
+    md["frame_ssim"] = np.array(
+        [[ssim(p[i], gt[i]) for i in range(t)] for p in pred_samples])
+    if reproject is not None:
+        md["frame_psnr_vis"] = np.array(
+            [[masked_psnr(p[i], gt[i], vis_mask[i]) for i in range(t)]
+             for p in pred_samples])
+        md["frame_psnr_occ"] = np.array(
+            [[masked_psnr(p[i], gt[i], occ_mask[i]) for i in range(t)]
+             for p in pred_samples])
+        md["frame_ssim_vis"] = np.array(
+            [[masked_ssim(p[i], gt[i], vis_mask[i]) for i in range(t)]
+             for p in pred_samples])
+        md["frame_ssim_occ"] = np.array(
+            [[masked_ssim(p[i], gt[i], occ_mask[i]) for i in range(t)]
+             for p in pred_samples])
+
+    # Pixelwise std across samples, averaged over channels (test.py:453-455).
+    uncertainty = (np.nanmean(np.std(stack, axis=0), axis=-1)
+                   if s >= 2 else np.zeros(gt.shape[:-1], np.float32))
+    md["frame_diversity"] = np.nanmean(uncertainty, axis=(1, 2))
+    if reproject is not None:
+        md["frame_diversity_vis"] = np.array([
+            float(np.nanmean(np.std(stack[:, i][:, vis_mask[i]], axis=0)))
+            if vis_mask[i].any() else np.nan for i in range(t)])
+        md["frame_diversity_occ"] = np.array([
+            float(np.nanmean(np.std(stack[:, i][:, occ_mask[i]], axis=0)))
+            if occ_mask[i].any() else np.nan for i in range(t)])
+
+    for key in list(md):
+        if key.startswith("frame_"):
+            md["mean_" + key[len("frame_"):]] = np.nanmean(md[key], axis=-1)
+    md["mean_diversity"] = float(np.nanmean(md["frame_diversity"]))
+    return md, uncertainty

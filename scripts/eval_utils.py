@@ -126,6 +126,10 @@ def load_model_bundle(config_path: str, model_path: str, support_ema: bool = Fal
 
     train_config_fp = _find_train_config(model_path) if model_path else None
     train_config = load_config(train_config_fp) if train_config_fp else None
+    if train_config is None and "data" in test_config:
+        # The supplied config carries its own data section (train/smoke
+        # configs double as eval configs when no run dir exists).
+        train_config = test_config
 
     meta = dict(
         delta_azimuth_range=[0.0, 0.0],
@@ -279,6 +283,167 @@ def load_image_or_video(fp: str, num_frames: int, frame_offset: int = 0,
 
 
 # ---------------------------------------------------------------------------
+# 3D camera-pose visualization (eval_utils.py:679-917)
+# ---------------------------------------------------------------------------
+
+
+def calc_cam_cone_pts_3d(polar_deg: float, azimuth_deg: float,
+                         radius_m: float, fov_deg: float) -> np.ndarray:
+    """(5, 3) frustum points (apex + 4 unit-offset corners) of a camera at
+    spherical (polar, azimuth, radius) looking at the origin
+    (eval_utils.py:840-917)."""
+    polar = -np.deg2rad(polar_deg)  # sign flip as in the reference
+    azim = np.deg2rad(azimuth_deg)
+    half = np.tan(np.deg2rad(fov_deg) / 2.0)
+
+    cam = radius_m * np.array([np.cos(azim) * np.cos(polar),
+                               np.sin(azim) * np.cos(polar),
+                               np.sin(polar)])
+    rot = np.array([
+        [np.cos(azim) * np.cos(polar), -np.sin(azim),
+         -np.cos(azim) * np.sin(polar)],
+        [np.sin(azim) * np.cos(polar), np.cos(azim),
+         -np.sin(azim) * np.sin(polar)],
+        [np.sin(polar), 0.0, np.cos(polar)],
+    ])
+    corners_cam = np.array([[-1.0, half, half], [-1.0, -half, half],
+                            [-1.0, -half, -half], [-1.0, half, -half]])
+    corners = corners_cam @ rot.T
+    corners /= np.linalg.norm(corners, axis=-1, keepdims=True)
+    return np.concatenate([cam[None], cam[None] + corners], axis=0)
+
+
+class CameraVisualizer:
+    """Interactive 3D camera-frustum figure for the demo app
+    (eval_utils.py:679-838): the conditioning image as a plane at the origin
+    plus green/blue wireframe cones for the input and target cameras.
+
+    Figure content is computed backend-free in `build_traces()` (plain numpy
+    dict, unit-testable); `update_figure()` renders it with plotly when
+    available and otherwise returns the trace dict as-is so the CLI fallback
+    can still log/serialize it.
+    """
+
+    SCENE_BOUNDS = 3.5
+    BASE_RADIUS = 2.5
+    ZOOM_SCALE = 1.5  # input radius offset is in [-0.5, 0.5]
+    FOV_DEG = 50.0
+    EDGES = ((0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4), (4, 1))
+
+    def __init__(self):
+        self._polar = 0.0
+        self._azimuth = 0.0
+        self._radius = 0.0
+        self._raw_image = None
+        self._8bit_image = None
+        self._image_colorscale = None
+
+    def polar_change(self, value: float):
+        self._polar = float(value)
+
+    def azimuth_change(self, value: float):
+        self._azimuth = float(value)
+
+    def radius_change(self, value: float):
+        self._radius = float(value)
+
+    def encode_image(self, raw_image: np.ndarray) -> None:
+        """raw_image: (H, W, 3) uint8. Plotly surfaces take one scalar per
+        vertex, so quantize to the 216-color WEB palette and carry the
+        palette as the colorscale (eval_utils.py:702-716)."""
+        from PIL import Image
+
+        dum = Image.fromarray(np.ones((3, 3, 3), np.uint8)).convert(
+            "P", palette="WEB")
+        idx_to_color = np.array(dum.getpalette()).reshape((-1, 3))
+        self._raw_image = raw_image
+        self._8bit_image = np.asarray(
+            Image.fromarray(raw_image).convert("P", palette="WEB",
+                                               dither=None))
+        self._image_colorscale = [
+            [i / 255.0, "rgb({}, {}, {})".format(*rgb)]
+            for i, rgb in enumerate(idx_to_color)]
+
+    def build_traces(self) -> dict:
+        traces = {"cones": [], "surface": None}
+        if self._raw_image is None:
+            return traces
+        h, w, _ = self._raw_image.shape
+        y, z = np.meshgrid(np.linspace(-1.0, 1.0, w),
+                           np.linspace(1.0, -1.0, h) * h / w)
+        traces["surface"] = {
+            "x": np.zeros((h, w)), "y": y, "z": z,
+            "surfacecolor": self._8bit_image,
+            "colorscale": self._image_colorscale,
+        }
+        input_cone = calc_cam_cone_pts_3d(
+            0.0, 0.0, self.BASE_RADIUS, self.FOV_DEG)
+        output_cone = calc_cam_cone_pts_3d(
+            self._polar, self._azimuth,
+            self.BASE_RADIUS + self._radius * self.ZOOM_SCALE, self.FOV_DEG)
+        for cone, color, legend in ((input_cone, "green", "Input view"),
+                                    (output_cone, "blue", "Target view")):
+            segments = [
+                (cone[e0].tolist(), cone[e1].tolist())
+                for e0, e1 in self.EDGES]
+            label_below = cone[0, 2] <= self.BASE_RADIUS / 2.0
+            traces["cones"].append({
+                "segments": segments, "color": color, "legend": legend,
+                "apex": cone[0].tolist(),
+                "label_offset": -0.05 if label_below else 0.05,
+                "label_position": ("bottom center" if label_below
+                                   else "top center"),
+            })
+        return traces
+
+    def update_figure(self):
+        traces = self.build_traces()
+        try:
+            import plotly.graph_objects as go
+        except ImportError:
+            return traces
+
+        fig = go.Figure()
+        if traces["surface"] is not None:
+            s = traces["surface"]
+            fig.add_trace(go.Surface(
+                x=s["x"], y=s["y"], z=s["z"], surfacecolor=s["surfacecolor"],
+                cmin=0, cmax=255, colorscale=s["colorscale"], showscale=False,
+                lighting_diffuse=1.0, lighting_ambient=1.0,
+                lighting_fresnel=1.0, lighting_roughness=1.0,
+                lighting_specular=0.3))
+        for cone in traces["cones"]:
+            for i, (p0, p1) in enumerate(cone["segments"]):
+                fig.add_trace(go.Scatter3d(
+                    x=[p0[0], p1[0]], y=[p0[1], p1[1]], z=[p0[2], p1[2]],
+                    mode="lines", line=dict(color=cone["color"], width=3),
+                    name=cone["legend"], showlegend=(i == 0)))
+            ax, ay, az = cone["apex"]
+            fig.add_trace(go.Scatter3d(
+                x=[ax], y=[ay], z=[az + cone["label_offset"]],
+                showlegend=False, mode="text", text=cone["legend"],
+                textposition=cone["label_position"]))
+
+        b = self.SCENE_BOUNDS
+        axis = dict(range=[-b, b], showticklabels=False, showgrid=True,
+                    zeroline=False, showbackground=True, showspikes=False,
+                    showline=False, ticks="")
+        fig.update_layout(
+            height=360, autosize=True, hovermode=False,
+            margin=go.layout.Margin(l=0, r=0, b=0, t=0),
+            showlegend=True,
+            legend=dict(yanchor="bottom", y=0.01, xanchor="right", x=0.99),
+            scene=dict(
+                aspectmode="manual", aspectratio=dict(x=1, y=1, z=1.0),
+                camera=dict(eye=dict(x=self.BASE_RADIUS - 1.6, y=0.0, z=0.6),
+                            center=dict(x=0.0, y=0.0, z=0.0),
+                            up=dict(x=0.0, y=0.0, z=1.0)),
+                xaxis_title="", yaxis_title="", zaxis_title="",
+                xaxis=axis, yaxis=dict(axis), zaxis=dict(axis)))
+        return fig
+
+
+# ---------------------------------------------------------------------------
 # Outputs (eval_utils.py:450-566)
 # ---------------------------------------------------------------------------
 
@@ -287,10 +452,12 @@ def draw_text(img01: np.ndarray, text: str, org=(6, 18), scale: float = 0.5,
               color=(1.0, 1.0, 1.0)) -> np.ndarray:
     import cv2
 
-    img = np.ascontiguousarray(img01.copy())
+    # cv2 putText requires 8-bit images (OpenCV >= 5 asserts on float32).
+    img = np.ascontiguousarray(
+        (np.clip(img01, 0.0, 1.0) * 255.0).astype(np.uint8))
     cv2.putText(img, text, org, cv2.FONT_HERSHEY_SIMPLEX, scale,
-                tuple(float(c) for c in color), 1, cv2.LINE_AA)
-    return img
+                tuple(float(c) * 255.0 for c in color), 1, cv2.LINE_AA)
+    return img.astype(np.float32) / 255.0
 
 
 def quick_pca(latent: np.ndarray, k: int = 3) -> np.ndarray:
@@ -336,7 +503,7 @@ def update_os_cpu_affinity(rank: int, num_workers: int) -> None:
 
 
 def make_sampler(bundle: ModelBundle, mesh_data: int = 1, mesh_fsdp: int = 1,
-                 decoding_t: int = 14):
+                 decoding_t: int = 14, return_latents: bool = False):
     """sample(batch, key) -> dict. mesh_data*mesh_fsdp > 1 shards ONE clip's
     sampling across the chips of a ("data","fsdp") mesh
     (gcd_tpu/engine/serving.py); otherwise plain single-device sampling."""
@@ -357,6 +524,7 @@ def make_sampler(bundle: ModelBundle, mesh_data: int = 1, mesh_fsdp: int = 1,
 
     def sample(batch, key):
         return engine.sample_video(bundle.params, batch, key,
-                                   decoding_t=decoding_t)
+                                   decoding_t=decoding_t,
+                                   return_latents=return_latents)
 
     return sample

@@ -46,21 +46,24 @@ def get_parser():
     return p
 
 
-def calc_cam_cone_pts_3d(azimuth_deg, elevation_deg, radius, fov_deg=50.0):
-    """Camera frustum corner points for the 3D pose visualization
-    (eval_utils.py:840-900)."""
-    from gcd_tpu.data import geometry
-
-    cam_pos = geometry.cartesian_from_spherical(
-        np.array([azimuth_deg, elevation_deg, max(radius, 1.0)]), deg2rad=True)
-    rt = geometry.extrinsics_from_look_at(cam_pos, np.zeros(3))
-    half = np.tan(np.deg2rad(fov_deg) / 2.0)
-    corners_cam = np.array([
-        [0, 0, 0],
-        [-half, -half, 1.0], [half, -half, 1.0],
-        [half, half, 1.0], [-half, half, 1.0],
-    ]) * max(radius, 1.0) * 0.3
-    return geometry.camera_to_world(corners_cam, rt)
+def make_camera_visualizer(bundle, input_fp=None, azimuth=0.0, elevation=0.0,
+                           radius=0.0, frame_width=384, frame_height=256):
+    """CameraVisualizer loaded with the first conditioning frame and the
+    requested target pose (gradio_app.py:154-189). The radius slider (meters,
+    train delta range) is normalized to the reference plot's [-0.5, 0.5]
+    zoom offset."""
+    vis = eval_utils.CameraVisualizer()
+    vis.azimuth_change(azimuth)
+    vis.polar_change(elevation)
+    r_lo, r_hi = bundle.delta_radius_range
+    r_span = max(abs(r_lo), abs(r_hi), 1e-6)
+    vis.radius_change(float(np.clip(radius / r_span, -1.0, 1.0)) * 0.5)
+    if input_fp:
+        frame0 = eval_utils.load_image_or_video(
+            input_fp, 1, center_crop=True, frame_width=frame_width,
+            frame_height=frame_height)[0]
+        vis.encode_image((np.clip(frame0, 0, 1) * 255).astype(np.uint8))
+    return vis
 
 
 def main_run(bundle, args, action, input_fp, azimuth, elevation, radius,
@@ -76,9 +79,11 @@ def main_run(bundle, args, action, input_fp, azimuth, elevation, radius,
         elevation = float(rng.uniform(*bundle.delta_elevation_range))
         radius = float(rng.uniform(*bundle.delta_radius_range))
     if action in ("vis", "rand"):
-        cone = calc_cam_cone_pts_3d(azimuth, elevation, radius)
+        vis = make_camera_visualizer(
+            bundle, input_fp, azimuth, elevation, radius,
+            args.frame_width, args.frame_height)
         return {"azimuth": azimuth, "elevation": elevation, "radius": radius,
-                "camera_cone": cone.tolist()}
+                "figure": vis.update_figure()}
 
     input_rgb = eval_utils.load_image_or_video(
         input_fp, args.num_frames, center_crop=True,
@@ -124,6 +129,17 @@ def run_gradio(bundle, args):
                        radius, int(num_samples), int(seed))
         return res["in"], res["out"], res["ioside"]
 
+    def on_vis(video, image, azimuth, elevation, radius):
+        res = main_run(bundle, args, "vis", video or image, azimuth,
+                       elevation, radius)
+        return res["figure"]
+
+    def on_rand(video, image, azimuth, elevation, radius):
+        res = main_run(bundle, args, "rand", video or image, azimuth,
+                       elevation, radius)
+        return (res["figure"], res["azimuth"], res["elevation"],
+                res["radius"])
+
     with gr.Blocks(title="GCD-TPU: Generative Camera Dolly") as demo:
         gr.Markdown("# Generative Camera Dolly (TPU)")
         with gr.Row():
@@ -138,11 +154,23 @@ def run_gradio(bundle, args):
                 num_samples = gr.Slider(1, 4, value=1, step=1,
                                         label="Samples")
                 seed = gr.Number(value=0, label="Seed")
-                run_btn = gr.Button("Generate")
+                with gr.Row():
+                    vis_btn = gr.Button("Visualize poses")
+                    rand_btn = gr.Button("Random camera")
+                run_btn = gr.Button("Generate", variant="primary")
             with gr.Column():
+                # 3D input/target frustum figure (reference gradio_app.py
+                # :369-377 + eval_utils.py CameraVisualizer).
+                pose_plot = gr.Plot(label="Camera poses")
                 out_in = gr.Video(label="Conditioning")
                 out_sample = gr.Video(label="Generated")
                 out_side = gr.Video(label="Side by side")
+        pose_inputs = [video_in, image_in, azimuth, elevation, radius]
+        vis_btn.click(on_vis, pose_inputs, [pose_plot])
+        rand_btn.click(on_rand, pose_inputs,
+                       [pose_plot, azimuth, elevation, radius])
+        for slider in (azimuth, elevation, radius):
+            slider.release(on_vis, pose_inputs, [pose_plot])
         run_btn.click(on_run,
                       [video_in, image_in, azimuth, elevation, radius,
                        num_samples, seed],

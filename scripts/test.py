@@ -26,15 +26,22 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scripts import eval_utils
+from scripts import eval_utils, galleries
 from gcd_tpu.utils.config import get_by_path, instantiate_from_config
-from gcd_tpu.utils.metrics import video_metrics, sample_diversity
+from gcd_tpu.utils.metrics import clip_metrics, sample_diversity
 
 
 def get_parser():
     p = argparse.ArgumentParser()
-    p.add_argument("--config_path", type=str, required=True)
-    p.add_argument("--model_path", type=str, default="")
+    p.add_argument("--config_path", type=str, required=True,
+                   help="config yaml; comma-separate for multi-model eval")
+    p.add_argument("--model_path", type=str, default="",
+                   help="checkpoint; comma-separate to evaluate a pool of "
+                        "models on identical examples (test.py:1031-1092)")
+    p.add_argument("--galleries", type=str,
+                   default="rich1,rich2,rich3,rich5,rich6",
+                   help="comma list of gallery layouts (rich1..rich7 or "
+                        "'all'); see scripts/galleries.py")
     p.add_argument("--input", type=str, required=True,
                    help="scene list txt (eval/list/kubric_test*.txt) or "
                         "comma-separated scene indices")
@@ -153,11 +160,8 @@ def build_eval_dataset(bundle, args):
     return dset
 
 
-def process_example(bundle, args, dset, scene, control, key, out_dp,
-                    tag: str):
-    import jax
-    import jax.numpy as jnp
-
+def render_example(dset, scene, control):
+    """Deterministic data-side render of one eval example."""
     if isinstance(scene, int):
         # Kubric: [scene_idx, frame_skip, frame_start, reverse, az_s, az_e,
         # el_s, el_e, r_s, r_e]
@@ -175,7 +179,14 @@ def process_example(bundle, args, dset, scene, control, key, out_dp,
 
     from gcd_tpu.data.loader import collate_fn
 
-    batch_np = collate_fn([example])
+    return collate_fn([example])
+
+
+def process_example(bundle, sampler, args, dset, batch_np, scene, control,
+                    key, out_dp, tag: str, enabled_galleries):
+    import jax
+    import jax.numpy as jnp
+
     batch = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
              for k, v in batch_np.items()}
 
@@ -184,19 +195,30 @@ def process_example(bundle, args, dset, scene, control, key, out_dp,
     if "reproject" in batch_np:
         reproject = (np.asarray(batch_np["reproject"]) + 1.0) / 2.0
 
-    sampler = eval_utils.make_sampler(bundle, args.mesh_data, args.mesh_fsdp,
-                                      decoding_t=args.decoding_t)
-    samples = []
+    samples, latents = [], []
     for s in range(args.num_samples):
         t0 = time.time()
         out = sampler(batch, jax.random.fold_in(key, s))
         samples.append(np.asarray(out["sampled_video"]))
+        if "sampled_z" in out:
+            latents.append(np.asarray(out["sampled_z"]))
         print(f"  sample {s}: {time.time() - t0:.1f}s")
 
-    per_sample = [video_metrics(s, gt, reproject) for s in samples]
-    metrics = {k: float(np.mean([m[k] for m in per_sample]))
-               for k in per_sample[0]}
-    metrics["diversity_std"] = sample_diversity(samples)
+    # Per-frame x per-sample metrics drive both the galleries and the
+    # scalar summary (reference test.py:346-496).
+    frame_metrics, uncertainty = clip_metrics(samples, gt, reproject)
+    metrics = {
+        "psnr": float(np.nanmean(frame_metrics["frame_psnr"])),
+        "ssim": float(np.nanmean(frame_metrics["frame_ssim"])),
+        "diversity_std": sample_diversity(samples),
+    }
+    if reproject is not None:
+        for ours, ref in (("psnr_visible", "psnr_vis"),
+                          ("psnr_occluded", "psnr_occ"),
+                          ("ssim_visible", "ssim_vis"),
+                          ("ssim_occluded", "ssim_occ")):
+            metrics[ours] = float(
+                np.nanmean(frame_metrics[f"frame_{ref}"]))
 
     # Semantic output head: mIoU by matching rendered colors back to the
     # ontology palette (README 'Pretrained Models' mIoU protocol).
@@ -215,15 +237,22 @@ def process_example(bundle, args, dset, scene, control, key, out_dp,
     metrics["control"] = control
 
     cond = np.asarray(out["cond_video"])
-    rows = [cond, samples[0], gt]
-    if reproject is not None:
-        rows.append(reproject)
-    gallery = np.concatenate(rows, axis=1)
-    eval_utils.write_video_and_frames(out_dp, f"{tag}_gallery", gallery)
+    vis = galleries.create_visualizations(
+        cond, gt, samples, frame_metrics, uncertainty=uncertainty,
+        reproject_rgb=reproject, pred_samples_latent=latents or None,
+        model_name=bundle.model_name,
+        target_title=f"Target ({galleries.controls_friendly_title(control)})",
+        enable=enabled_galleries)
+    galleries.save_visualizations(
+        vis, out_dp, tag, frame_rate=int(control.get("frame_rate", 8)))
     for s, samp in enumerate(samples):
         eval_utils.write_video_and_frames(out_dp, f"{tag}_out{s}", samp)
     with open(os.path.join(out_dp, f"{tag}_metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=2)
+        json.dump(
+            {**metrics,
+             **{k: np.asarray(v).tolist()
+                for k, v in frame_metrics.items()}},
+            f, indent=2)
     return metrics
 
 
@@ -236,11 +265,34 @@ def main(argv=None):
         jax.config.update("jax_num_cpu_devices", args.cpu_devices)
     key = jax.random.PRNGKey(args.seed)
 
-    bundle = eval_utils.load_model_bundle(
-        args.config_path, args.model_path, support_ema=bool(args.support_ema),
-        num_steps=args.num_steps, num_frames=args.num_frames,
-        max_scale=args.guider_max_scale, min_scale=args.guider_min_scale,
-        img_hw=(args.frame_height, args.frame_width), verbose=True)
+    # Multi-model pool (reference test.py:1031-1092): examples are sharded
+    # across workers via --shard, while EVERY model sees every example — the
+    # data render happens once per example and is reused across the pool.
+    config_paths = [c for c in args.config_path.split(",") if c]
+    model_paths = [m for m in args.model_path.split(",")] or [""]
+    if len(config_paths) == 1:
+        config_paths = config_paths * len(model_paths)
+    assert len(config_paths) == len(model_paths), \
+        "need one --config_path per --model_path (or a single shared one)"
+
+    bundles = [
+        eval_utils.load_model_bundle(
+            cp, mp, support_ema=bool(args.support_ema),
+            num_steps=args.num_steps, num_frames=args.num_frames,
+            max_scale=args.guider_max_scale, min_scale=args.guider_min_scale,
+            img_hw=(args.frame_height, args.frame_width), verbose=True)
+        for cp, mp in zip(config_paths, model_paths)
+    ]
+    samplers = [
+        eval_utils.make_sampler(b, args.mesh_data, args.mesh_fsdp,
+                                decoding_t=args.decoding_t,
+                                return_latents=args.mesh_data
+                                * args.mesh_fsdp <= 1)
+        for b in bundles
+    ]
+    enabled = (("rich1", "rich2", "rich3", "rich4", "rich5", "rich6", "rich7")
+               if args.galleries == "all"
+               else tuple(g for g in args.galleries.split(",") if g))
 
     scenes = parse_scene_list(args.input)
     shard_i, shard_n = map(int, args.shard.split("/"))
@@ -253,39 +305,52 @@ def main(argv=None):
         if not args.generate_controls:
             print("No controls json found; regenerating deterministically "
                   "(pass --controls_json to use the official file).")
-        controls = generate_controls(scenes, args.samples_per_scene, bundle,
-                                     seed=4)
+        controls = generate_controls(scenes, args.samples_per_scene,
+                                     bundles[0], seed=4)
 
-    dset = build_eval_dataset(bundle, args)
-    out_dp = os.path.join(args.output, bundle.model_name)
-    os.makedirs(out_dp, exist_ok=True)
+    dset = build_eval_dataset(bundles[0], args)
+    out_dps = []
+    for b in bundles:
+        dp = os.path.join(args.output, b.model_name)
+        os.makedirs(dp, exist_ok=True)
+        out_dps.append(dp)
 
-    all_metrics = []
+    all_metrics = [[] for _ in bundles]
+    n_ex = 0
     for i, scene in enumerate(scenes):
         scene_controls = controls.get(str(scene), {})
         for sample_name, control in sorted(scene_controls.items()):
             tag = f"{scene}_{sample_name}"
             print(f"[{i + 1}/{len(scenes)}] {tag}")
             try:
-                m = process_example(bundle, args, dset, scene, control,
-                                    jax.random.fold_in(key, len(all_metrics)),
-                                    out_dp, tag)
-                all_metrics.append(m)
-                print(f"  PSNR {m['psnr']:.2f} dB  SSIM {m['ssim']:.3f}")
+                batch_np = render_example(dset, scene, control)
             except Exception as e:
-                print(f"  failed: {e}")
+                print(f"  data render failed: {e}")
+                continue
+            ex_key = jax.random.fold_in(key, n_ex)
+            n_ex += 1
+            for bi, (bundle, sampler) in enumerate(zip(bundles, samplers)):
+                try:
+                    m = process_example(bundle, sampler, args, dset, batch_np,
+                                        scene, control, ex_key, out_dps[bi],
+                                        tag, enabled)
+                    all_metrics[bi].append(m)
+                    print(f"  [{bundle.model_name}] PSNR {m['psnr']:.2f} dB "
+                          f"SSIM {m['ssim']:.3f}")
+                except Exception as e:
+                    print(f"  [{bundle.model_name}] failed: {e}")
 
-    if all_metrics:
+    for bi, bundle in enumerate(bundles):
+        ms = all_metrics[bi]
         summary = {
-            k: float(np.nanmean([m[k] for m in all_metrics]))
-            for k in all_metrics[0]
-            if isinstance(all_metrics[0][k], (int, float))
-        }
-    else:
-        summary = {}
-    with open(os.path.join(out_dp, "summary_metrics.json"), "w") as f:
-        json.dump({"summary": summary, "examples": all_metrics}, f, indent=2)
-    print(f"Summary over {len(all_metrics)} examples: {summary}")
+            k: float(np.nanmean([m[k] for m in ms]))
+            for k in ms[0] if isinstance(ms[0][k], (int, float))
+        } if ms else {}
+        with open(os.path.join(out_dps[bi], "summary_metrics.json"),
+                  "w") as f:
+            json.dump({"summary": summary, "examples": ms}, f, indent=2)
+        print(f"[{bundle.model_name}] summary over {len(ms)} examples: "
+              f"{summary}")
 
 
 if __name__ == "__main__":
