@@ -133,30 +133,239 @@ class MockBackend:
 
 
 class KubricBackend:
-    """Real Blender/PyBullet path; requires the kubric docker environment."""
+    """Real Blender/PyBullet path (reference MyKubricSimulatorRenderer,
+    kubric_sim.py:70-846), exposed through the same backend contract as
+    MockBackend: `simulate(scene_spec, num_frames, fps)` then
+    `render(scene_spec, extrinsics, num_frames)` per view.
 
-    def __init__(self, scratch_dir: str, resolution=DEFAULT_RESOLUTION):
-        try:
-            import bpy  # noqa: F401
-            import kubric  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "The real Kubric backend needs Blender's `bpy` and the "
-                "`kubric` package (run inside kubricdockerhub/kubruntu, as "
-                "the reference does: README 'Dataset Generation'). Use "
-                "MockBackend for pipeline testing without Blender."
-            ) from e
+    Requires Blender's `bpy` and the `kubric` package — run inside the
+    kubricdockerhub/kubruntu image (README 'Dataset Generation'); this
+    environment has neither, so construction raises a clear ImportError.
+    The Blender-side protocol is import-contract-tested by injecting stub
+    modules via `_modules` (tests/test_kubric_backend.py).
+
+    Key behaviors carried over from the reference:
+      * bpy/kubric are imported INSIDE __init__ and kept on self — importing
+        bpy outside the using thread crashes Blender (kubric_sim.py:85-96);
+      * one PyBullet simulator is reused for the process lifetime (PyBullet
+        errors on re-init, :234-240) while the Blender renderer is rebuilt
+        per scene (:242-246);
+      * HDRI dome: paint the kubasic 'dome' asset with the sampled HDRI and
+        sync ambient light (:258-280);
+      * object insertion applies the mass scaling law and resamples poses
+        until no overlap (:429-553).
+    """
+
+    def __init__(self, scratch_dir: str, resolution=DEFAULT_RESOLUTION,
+                 frame_rate: int = DEFAULT_FPS, motion_blur: bool = True,
+                 render_samples_per_pixel: int = 32,
+                 render_use_gpu: bool = False, render_cpu_threads: int = -1,
+                 focal_length: float = 35.0, _modules=None):
+        if _modules is not None:
+            self.bpy, self.kb = _modules
+        else:  # pragma: no cover - needs the kubric docker image
+            try:
+                import bpy
+                import kubric as kb
+                import kubric.renderer  # noqa: F401
+                import kubric.simulator  # noqa: F401
+            except ImportError as e:
+                raise ImportError(
+                    "The real Kubric backend needs Blender's `bpy` and the "
+                    "`kubric` package (run inside kubricdockerhub/kubruntu, "
+                    "as the reference does: README 'Dataset Generation'). "
+                    "Use MockBackend for pipeline testing without Blender."
+                ) from e
+            self.bpy, self.kb = bpy, kb
+
+        os.makedirs(scratch_dir, exist_ok=True)
         self.scratch_dir = scratch_dir
         self.resolution = resolution
+        self.frame_rate = frame_rate
+        self.motion_blur = motion_blur
+        self.render_samples_per_pixel = render_samples_per_pixel
+        self.render_cpu_threads = render_cpu_threads
+        self.focal_length = focal_length
+        os.environ["KUBRIC_USE_GPU"] = "1" if render_use_gpu else "0"
 
-    def simulate(self, scene_spec, num_frames, fps):  # pragma: no cover
-        raise NotImplementedError(
-            "bpy present but the full Kubric adapter is not wired in this "
-            "round; see data-gen/kubric_sim.py in the reference for the "
-            "Blender-side protocol.")
+        # Asset sources; same manifests as MOVi-D/E/F (kubric_sim.py:131-136).
+        self.gso_source = self.kb.AssetSource.from_manifest(
+            "gs://kubric-public/assets/GSO/GSO.json")
+        self.hdri_source = self.kb.AssetSource.from_manifest(
+            "gs://kubric-public/assets/HDRI_haven/HDRI_haven.json")
+        self.kubasic_source = self.kb.AssetSource.from_manifest(
+            "gs://kubric-public/assets/KuBasic/KuBasic.json")
 
-    def render(self, scene_spec, extrinsics, num_frames):  # pragma: no cover
-        raise NotImplementedError
+        self.scene = None
+        self.simulator = None
+        self.renderer = None
+        self.dome = None
+        self.foreground_assets = []
+        self._prepared_key = None
+        self._last_collisions = None
+
+    # -- scene construction ------------------------------------------------
+
+    def _ensure_scene(self, scene_spec: Dict, num_frames: int) -> None:
+        key = (id(scene_spec), scene_spec.get("seed"), num_frames)
+        if self._prepared_key == key:
+            return
+        self._prepared_key = key
+        rng = np.random.RandomState(scene_spec.get("seed", 0))
+
+        w, h = self.resolution
+        self.scene = self.kb.Scene(
+            frame_start=0, frame_end=num_frames - 1,
+            frame_rate=self.frame_rate, resolution=(w, h))
+
+        # PyBullet reuse / Blender refresh (kubric_sim.py:234-246).
+        if self.simulator is None:
+            self.simulator = self.kb.simulator.PyBullet(
+                self.scene, scratch_dir=self.scratch_dir)
+        else:
+            self.simulator.scene = self.scene
+            self.simulator.scratch_dir = self.scratch_dir
+        blur = rng.uniform(0.4, 0.8) if self.motion_blur else 0.0
+        self.renderer = self.kb.renderer.Blender(
+            self.scene, scratch_dir=self.scratch_dir,
+            adaptive_sampling=False, use_denoising=True,
+            samples_per_pixel=self.render_samples_per_pixel,
+            motion_blur=blur)
+        if self.render_cpu_threads >= 1:
+            self.bpy.context.scene.render.threads_mode = "FIXED"
+            self.bpy.context.scene.render.threads = self.render_cpu_threads
+
+        # HDRI background dome (kubric_sim.py:258-280).
+        hdri_id = scene_spec.get("background_hdri") or rng.choice(
+            self.hdri_source.all_asset_ids)
+        background_hdri = self.hdri_source.create(asset_id=hdri_id,
+                                                  name="bg_hdri")
+        self.scene.metadata["background"] = hdri_id
+        self.dome = self.kubasic_source.create(
+            asset_id="dome", name="dome", friction=1.0, restitution=0.0,
+            static=True, background=True)
+        self.scene += self.dome
+        dome_blender = self.dome.linked_objects[self.renderer]
+        tex = dome_blender.data.materials[0].node_tree.nodes["Image Texture"]
+        tex.image = self.bpy.data.images.load(background_hdri.filename)
+        self.renderer._set_ambient_light_hdri(background_hdri.filename)
+
+        # Foreground objects from the sampled spec (kubric_sim.py:429-553).
+        self.foreground_assets = []
+        for spec in scene_spec["objects"]:
+            obj = self.gso_source.create(
+                asset_id=spec["asset_id"],
+                name=("dynamic" if spec["dynamic"] else "static")
+                + f"_{spec['index']:03d}")
+            obj.scale = spec["scale"]
+            obj.mass = spec["mass"]
+            obj.metadata["object_kind"] = spec.get("kind", "any")
+            obj.metadata["is_dynamic"] = bool(spec["dynamic"])
+            self.scene += obj
+            obj.position = np.asarray(spec["position"], dtype=np.float64)
+            if self.simulator.check_overlap(obj):
+                # Overlapping start pose: resample nearby like the reference's
+                # move_until_no_overlap (:838-846), but keep the sampled
+                # position as the spawn-region center for reproducibility.
+                region = (tuple(np.asarray(spec["position"]) - 1.5),
+                          tuple(np.asarray(spec["position"]) + 1.5))
+                self.kb.resample_while(
+                    obj,
+                    samplers=[self.kb.rotation_sampler(
+                        axis="Z" if spec.get("kind") in
+                        ("container", "carrier", "box") else None),
+                        self.kb.position_sampler(region)],
+                    condition=self.simulator.check_overlap,
+                    max_trials=100, rng=rng)
+            if spec["dynamic"]:
+                obj.velocity = np.asarray(spec.get("velocity", (0, 0, 0)),
+                                          dtype=np.float64)
+                obj.friction = rng.uniform(0.4, 0.5)
+                obj.restitution = rng.uniform(0.6, 0.7)
+            else:
+                obj.friction = 1.0
+                obj.restitution = 0.0
+            self.foreground_assets.append(obj)
+        self.dome.friction = rng.uniform(0.3, 0.4)
+        self.dome.restitution = rng.uniform(0.6, 0.7)
+
+    def _setup_camera_from_extrinsics(self, rt: np.ndarray,
+                                      num_frames: int) -> None:
+        """Static synchronized viewpoint: one pose keyframed over all frames
+        (export_kub_mv renders each of the 16 rig views with a fixed camera;
+        reference setup_camera_exact, kubric_sim.py:365-402)."""
+        rt = np.asarray(rt, dtype=np.float64)
+        self.scene.camera = self.kb.PerspectiveCamera(
+            focal_length=self.focal_length, sensor_width=32.0)
+        rot = rt[0:3, 0:3].copy()
+        # Stored convention -> Blender camera frame (see get_metadata).
+        rot[:, 1] *= -1.0
+        rot[:, 2] *= -1.0
+        quat = _rotation_matrix_to_quaternion(rot)
+        for frame in range(-1, num_frames + 2):
+            self.scene.camera.position = rt[0:3, 3]
+            self.scene.camera.quaternion = quat
+            self.scene.camera.keyframe_insert("position", frame)
+            self.scene.camera.keyframe_insert("quaternion", frame)
+
+    # -- backend contract --------------------------------------------------
+
+    def simulate(self, scene_spec: Dict, num_frames: int, fps: int) -> Dict:
+        assert fps == self.frame_rate, (fps, self.frame_rate)
+        self._ensure_scene(scene_spec, num_frames)
+        animations, collisions = self.simulator.run(0, num_frames - 1)
+        self._last_collisions = collisions
+        trajectories = {}
+        for spec, obj in zip(scene_spec["objects"], self.foreground_assets):
+            pos = getattr(obj, "keyframes", {}).get("position")
+            if pos is not None:
+                traj = np.asarray([pos[t] for t in sorted(pos)],
+                                  dtype=np.float32)
+            else:
+                traj = np.tile(np.asarray(obj.position, np.float32),
+                               (num_frames, 1))
+            trajectories[f"{spec['asset_id']}_{spec['index']}"] = traj
+        return {"trajectories": trajectories, "animations": animations,
+                "collisions": collisions}
+
+    def render(self, scene_spec: Dict, extrinsics: np.ndarray,
+               num_frames: int,
+               return_layers=("rgba", "forward_flow", "depth", "normal",
+                              "object_coordinates", "segmentation"),
+               ) -> Dict[str, np.ndarray]:
+        self._ensure_scene(scene_spec, num_frames)
+        self._setup_camera_from_extrinsics(extrinsics, num_frames)
+        data_stack = self.renderer.render(
+            frames=list(range(num_frames)), return_layers=list(return_layers))
+        # Visibility + instance-id normalization (kubric_sim.py:669-690):
+        # segmentation value k+1 points at foreground_assets[k], 0 is dome.
+        self.kb.compute_visibility(data_stack["segmentation"],
+                                   self.scene.assets)
+        data_stack["segmentation"] = self.kb.adjust_segmentation_idxs(
+            data_stack["segmentation"], self.scene.assets,
+            self.foreground_assets)
+        if "depth" in data_stack:
+            d = np.asarray(data_stack["depth"])
+            if d.ndim == 4 and d.shape[-1] == 1:
+                data_stack["depth"] = d[..., 0]
+        return data_stack
+
+    def get_metadata(self) -> Dict:
+        """Scene/camera/instance metadata via kubric's introspection helpers
+        (kubric_sim.py:756-782)."""
+        self.kb.post_processing.compute_bboxes(
+            None, self.foreground_assets)
+        md = {
+            "scene": self.kb.get_scene_metadata(self.scene),
+            "camera": self.kb.get_camera_info(self.scene.camera),
+            "instances": self.kb.get_instance_info(self.scene,
+                                                   self.foreground_assets),
+        }
+        if self._last_collisions is not None:
+            md["collisions"] = self.kb.process_collisions(
+                self._last_collisions, self.scene,
+                assets_subset=self.foreground_assets)
+        return md
 
 
 class KubricSimulatorRenderer:
