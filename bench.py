@@ -180,6 +180,9 @@ def run_inner():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / A100_EST_FRAMES_PER_SEC, 3),
         "p50_clip_latency_s": round(p50, 3),
+        # BASELINE.md's >=5x north star is quoted for v5p chips; this env's
+        # single chip is the much smaller v5e-lite (VERDICT r1 weak #4).
+        "chip": jax.devices()[0].device_kind,
     }))
 
 
