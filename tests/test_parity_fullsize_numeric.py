@@ -73,6 +73,25 @@ def _save_golden(key: str, arrays: dict) -> None:
     np.savez_compressed(os.path.join(GOLDEN_DIR, key + ".npz"), **arrays)
 
 
+def _fill_zero_params(net, seed: int) -> None:
+    """Replace every all-zero parameter with small seeded noise, in place.
+
+    The reference zero_module-initializes the ResBlock/transformer output
+    projections and the final conv (diffusionmodules/util.py:248-253), so a
+    freshly-initialized UNet forward collapses to the skip paths and returns
+    exactly 0 — a vacuous parity target. Filling the zeros makes every layer
+    contribute to the compared output."""
+    import torch
+
+    rng = np.random.default_rng(seed)
+    sd = net.state_dict()
+    for k, v in sd.items():
+        if v.numel() and not v.any():
+            sd[k] = torch.from_numpy(
+                rng.normal(0.0, 0.02, tuple(v.shape)).astype(np.float32))
+    net.load_state_dict(sd)
+
+
 def _seeded_inputs():
     rng = np.random.default_rng(0)
     return {
@@ -91,12 +110,14 @@ def test_full_unet_numeric_parity():
     from gcd_tpu.models.unet import VideoUNet
 
     inp = _seeded_inputs()
-    key = _golden_key("unet", FULL_UNET, {"weights": 0, "inputs": 0})
+    key = _golden_key("unet", FULL_UNET,
+                      {"weights": 0, "inputs": 0, "fill_zeros": 7})
 
     torch.manual_seed(0)
     net = get_reference_video_unet(
         **FULL_UNET, spatial_transformer_attn_type="softmax")
     net.eval()
+    _fill_zero_params(net, seed=7)
     # .numpy() shares storage with the torch tensors — no 6GB copy.
     sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
 
@@ -130,6 +151,7 @@ def test_full_unet_numeric_parity():
     out = np.asarray(out).transpose(0, 3, 1, 2)
 
     assert out.shape == golden["out"].shape
+    assert np.abs(golden["out"]).max() > 1e-3  # non-vacuous target
     # ~2.5x deeper than the tiny parity net; scale atol accordingly but keep
     # it far below any behaviorally relevant difference (latents are O(1)).
     np.testing.assert_allclose(out, golden["out"], rtol=2e-3, atol=1e-3)
@@ -145,11 +167,13 @@ def test_full_video_decoder_numeric_parity():
 
     rng = np.random.default_rng(1)
     z = rng.normal(size=(T, 4, 16, 24)).astype(np.float32)
-    key = _golden_key("videodec", FULL_DD, {"weights": 3, "inputs": 1})
+    key = _golden_key("videodec", FULL_DD,
+                      {"weights": 3, "inputs": 1, "fill_zeros": 8})
 
     torch.manual_seed(3)
     ref = RefVideoDecoder(**FULL_DD, attn_type="vanilla",
                           video_kernel_size=[3, 1, 1]).eval()
+    _fill_zero_params(ref, seed=8)  # time_stack out convs are zero_module'd
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
 
     golden = _load_golden(key)

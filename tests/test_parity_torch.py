@@ -31,6 +31,22 @@ TINY_UNET = dict(
 T, H, W = 3, 16, 16
 
 
+def fill_zero_params(net, seed: int) -> None:
+    """Replace all-zero parameters (the reference's zero_module-initialized
+    output projections) with small seeded noise, in place. Without this a
+    freshly-initialized UNet forward collapses to the skip paths and returns
+    exactly 0, making output parity vacuous."""
+    import torch
+
+    rng = np.random.default_rng(seed)
+    sd = net.state_dict()
+    for k, v in sd.items():
+        if v.numel() and not v.any():
+            sd[k] = torch.from_numpy(
+                rng.normal(0.0, 0.02, tuple(v.shape)).astype(np.float32))
+    net.load_state_dict(sd)
+
+
 def _torch_unet(seed=0):
     import torch
 
@@ -40,6 +56,7 @@ def _torch_unet(seed=0):
     net = get_reference_video_unet(
         **TINY_UNET, spatial_transformer_attn_type="softmax")
     net.eval()
+    fill_zero_params(net, seed=seed + 100)
     return net
 
 
@@ -100,6 +117,7 @@ def test_unet_forward_parity(converted):
     out = np.asarray(out).transpose(0, 3, 1, 2)
 
     assert ref.shape == out.shape
+    assert np.abs(ref).max() > 1e-3  # non-vacuous target (zero convs filled)
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-4)
 
 
@@ -148,6 +166,7 @@ def test_video_decoder_parity():
     _, RefVideoDecoder = get_reference_vae()
     torch.manual_seed(3)
     ref = RefVideoDecoder(**TINY_DD, video_kernel_size=[3, 1, 1]).eval()
+    fill_zero_params(ref, seed=103)  # time_stack out convs are zero_module'd
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
 
     model = VideoDecoder(
@@ -194,6 +213,7 @@ def test_video_attn_block_parity():
     torch.manual_seed(5)
     c, b, t, hh, ww = 32, 2, 3, 8, 8
     ref = VideoBlock(in_channels=c, alpha=0.0, merge_strategy="learned").eval()
+    fill_zero_params(ref, seed=105)
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
 
     model = VideoAttnBlock(alpha=0.0, merge_strategy="learned")
