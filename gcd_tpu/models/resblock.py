@@ -112,6 +112,11 @@ class ResBlock(nn.Module):
                 return TemporalConvK11(features=features, kt=ks[0],
                                        zero_init=zero_init, dtype=self.dtype,
                                        name=name)
+            if ks == (3, 3):
+                from gcd_tpu.ops.spatial_conv import SpatialConv3x3
+
+                return SpatialConv3x3(features=features, zero_init=zero_init,
+                                      dtype=self.dtype, name=name)
             kinit = (nn.initializers.zeros if zero_init
                      else nn.initializers.lecun_normal())
             return nn.Conv(features, ks, padding=pad, kernel_init=kinit,

@@ -24,6 +24,14 @@ Flag -> env var -> meaning:
                                   (numerics A/B switch, not a kernel toggle)
   tconv_matmul  GCD_TCONV_MATMUL  (kt,1,1) temporal convs as im2col matmuls
                                   (ops/temporal_conv.py)
+  gn_stats_pallas GCD_GN_STATS    GroupNorm statistics via an opaque Pallas
+                                  kernel, keeping conv epilogues clean
+                                  (ops/fused_norm.py group_stats_pallas;
+                                  measured 4.78 vs 5.12 f/s e2e - stays off)
+  sconv_matmul  GCD_SCONV_MATMUL  spatial 3x3 convs as im2col matmuls
+                                  (ops/spatial_conv.py; measured 3.80 vs
+                                  5.10 f/s e2e - XLA materializes the 9x
+                                  concat for 2D shifts - stays off)
 """
 
 from __future__ import annotations
@@ -41,6 +49,8 @@ _DEFAULTS = {
     "fused_gn_conv": False,
     "exact_gelu": False,
     "tconv_matmul": True,
+    "gn_stats_pallas": False,
+    "sconv_matmul": False,
 }
 
 _ENV = {
@@ -52,6 +62,8 @@ _ENV = {
     "fused_gn_conv": "GCD_FUSED_GNCONV",
     "exact_gelu": "GCD_EXACT_GELU",
     "tconv_matmul": "GCD_TCONV_MATMUL",
+    "gn_stats_pallas": "GCD_GN_STATS",
+    "sconv_matmul": "GCD_SCONV_MATMUL",
 }
 
 _tls = threading.local()

@@ -27,6 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
+# Tests flip this to run the stats kernel in pallas interpret mode on CPU.
+_INTERPRET = False
+
 
 def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int, eps: float,
             silu: bool, hw: int, c: int):
@@ -88,6 +91,108 @@ def _fused_forward(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     return out.reshape(x.shape)
 
 
+def _stats_kernel(x_ref, s1_ref, s2_ref, *, c: int, num_groups: int,
+                  n_tiles: int):
+    """Accumulate per-group sum and sum-of-squares over spatial tiles.
+
+    Grid (N, n_tiles); x block (1, tile, C); outputs (1, 1, G) f32 revisited
+    across the tile axis (sequential TPU grid -> safe accumulation)."""
+    j = pl.program_id(1)
+    x = x_ref[...].astype(jnp.float32).reshape(-1, c)
+    s1 = jnp.sum(x, axis=0, keepdims=True)      # (1, C)
+    s2 = jnp.sum(x * x, axis=0, keepdims=True)  # (1, C)
+    # Fold channels into groups with a one-hot matmul: mosaic cannot reshape
+    # the lane dim into (G, C/G), but (1,C)x(C,G) lowers cleanly to the MXU.
+    cpg = c // num_groups
+    ch_group = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0) // cpg
+    grp_id = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    onehot = (ch_group == grp_id).astype(jnp.float32)
+    g1 = jax.lax.dot_general(s1, onehot, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    g2 = jax.lax.dot_general(s2, onehot, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _init():
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+        s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    s1_ref[...] += g1.reshape(s1_ref.shape)
+    s2_ref[...] += g2.reshape(s2_ref.shape)
+
+
+def _pick_stats_tile(hw: int, c: int,
+                     budget: int = VMEM_BUDGET_BYTES) -> Optional[int]:
+    """Largest spatial tile (divisor of hw, multiple of 8 when possible)
+    whose fp32 working copy fits the VMEM budget."""
+    max_rows = max(budget // (c * 6), 1)  # bf16 in + f32 copy ~ 6 B/elem
+    best = None
+    for t in range(1, hw + 1):
+        if hw % t == 0 and t <= max_rows:
+            if t % 8 == 0 or best is None or best % 8 != 0:
+                best = t
+    return best
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def group_stats_pallas(x: jnp.ndarray, num_groups: int):
+    """Per-(sample, group) sum and sum-of-squares of a (N, HW, C) tensor,
+    computed in an opaque Pallas kernel. Returns two (N, G) f32 arrays.
+
+    Purpose is as much about what XLA *cannot* do with it as speed: when the
+    stats are plain reduces, XLA fuses them into the producing convolution
+    (`convert_reduce_fusion`), which drags the conv fusion's effective
+    bandwidth to 13-40 GiB/s — 31% of the round-1 sampling step (r2 xprof).
+    A custom call cannot be fused, so the conv keeps its clean epilogue and
+    the stats read runs at memory speed. The round-1 alternatives (ones-dot,
+    optimization_barrier) lost to simplifier rewrites or blocked epilogues
+    (see NOTE in _reference_groupnorm).
+    """
+    n, hw, c = x.shape
+    tile = _pick_stats_tile(hw, c)
+    assert tile is not None
+    g = num_groups
+    s1, s2 = pl.pallas_call(
+        functools.partial(_stats_kernel, c=c, num_groups=g,
+                          n_tiles=hw // tile),
+        interpret=_INTERPRET,
+        grid=(n, hw // tile),
+        in_specs=[
+            pl.BlockSpec((None, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, 1, g), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, g), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1, g), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, g), jnp.float32),
+        ],
+    )(x)
+    return s1.reshape(n, g), s2.reshape(n, g)
+
+
+def _stats_fwd(x, num_groups):
+    return group_stats_pallas(x, num_groups), (x,)
+
+
+def _stats_bwd(num_groups, res, grads):
+    (x,) = res
+    g1, g2 = grads
+    n, hw, c = x.shape
+    cpg = c // num_groups
+    # d s1 / dx = 1, d s2 / dx = 2x  (per group)
+    g1c = jnp.repeat(g1, cpg, axis=1)[:, None, :]
+    g2c = jnp.repeat(g2, cpg, axis=1)[:, None, :]
+    return ((g1c + 2.0 * x.astype(jnp.float32) * g2c).astype(x.dtype),)
+
+
+group_stats_pallas.defvjp(_stats_fwd, _stats_bwd)
+
+
 def _reference_groupnorm(x, scale, bias, num_groups, eps, silu):
     """Unfused fp32 path (matches GroupNorm32 semantics).
 
@@ -112,10 +217,22 @@ def _reference_groupnorm(x, scale, bias, num_groups, eps, silu):
     # unless the ones vector is barrier-hidden); (b) an optimization_barrier
     # on x detaches the reduce but blocks the conv's other epilogue fusions
     # (5.04 -> 4.90 frames/s e2e). The plain form is the best known.
-    s1 = jnp.sum(xf, axis=1)
-    s2 = jnp.sum(xf * xf, axis=1)
-    g1 = s1.reshape(n, num_groups, cpg).sum(-1)
-    g2 = s2.reshape(n, num_groups, cpg).sum(-1)
+    from gcd_tpu.ops.attention import _is_tpu_backend
+    from gcd_tpu.ops.dispatch import kernel_enabled
+
+    use_pallas_stats = (
+        kernel_enabled("gn_stats_pallas")
+        and _is_tpu_backend()
+        and c % num_groups == 0
+        and _pick_stats_tile(hw, c) is not None
+    )
+    if use_pallas_stats:
+        g1, g2 = group_stats_pallas(x.reshape(n, hw, c), num_groups)
+    else:
+        s1 = jnp.sum(xf, axis=1)
+        s2 = jnp.sum(xf * xf, axis=1)
+        g1 = s1.reshape(n, num_groups, cpg).sum(-1)
+        g2 = s2.reshape(n, num_groups, cpg).sum(-1)
     cnt = hw * cpg
     mean = g1 / cnt
     var = g2 / cnt - mean * mean
