@@ -43,10 +43,41 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def build_sampler_fn():
+def make_decoder():
+    """VideoDecoder at the production SVD config with random bf16 weights.
+
+    Shared by the bench clip and scripts/profile_bench.py's decode-only
+    profile (the decode leg is ~9% of the clip; see INVENTORY perf notes)."""
+    from gcd_tpu.models.vae import VideoDecoder
+
+    decoder = VideoDecoder(
+        ch=128, ch_mult=[1, 2, 4, 4], num_res_blocks=2, attn_resolutions=[],
+        z_channels=4, double_z=True, in_channels=3, out_ch=3, resolution=256,
+        video_kernel_size=[3, 1, 1], dtype=jnp.bfloat16,
+    )
+    dshapes = jax.eval_shape(
+        lambda: decoder.init(jax.random.PRNGKey(0),
+                             jnp.zeros((T, HL, WL, 4), jnp.bfloat16), timesteps=T)
+    )
+    dleaves, dtreedef = jax.tree_util.tree_flatten(dshapes)
+    dkeys = jax.random.split(jax.random.PRNGKey(2), len(dleaves))
+    dparams = jax.tree_util.tree_unflatten(dtreedef, [
+        jax.random.normal(k, l.shape, jnp.bfloat16) * 0.02
+        for k, l in zip(dkeys, dleaves)
+    ])
+    return decoder, dparams
+
+
+def build_sampler_fn(batch: int = 1):
+    """Jitted end-to-end clip fn: 25-step CFG-doubled sampling + VAE decode.
+
+    `batch` > 1 packs several independent clips into one program ((B*T)
+    leading axis, the reference's collate convention) — the serving-throughput
+    configuration. The driver metric stays batch=1 (latency-bound, matching
+    the reference's per-clip workload); see GCD_BENCH_BATCH below.
+    """
     from __graft_entry__ import _flagship_unet
     from gcd_tpu.diffusion import Denoiser, EulerEDMSampler
-    from gcd_tpu.models.vae import VideoDecoder
 
     model = _flagship_unet(dtype=jnp.bfloat16)
     denoiser = Denoiser(
@@ -64,7 +95,8 @@ def build_sampler_fn():
         },
     )
 
-    bt = 2 * T
+    b = batch
+    bt = 2 * b * T
     shapes = jax.eval_shape(
         lambda: model.init(
             jax.random.PRNGKey(0),
@@ -73,7 +105,7 @@ def build_sampler_fn():
             jnp.zeros((bt, 1, 1024)),
             jnp.zeros((bt, 768 + 128)),
             num_video_frames=T,
-            image_only_indicator=jnp.zeros((2, T)),
+            image_only_indicator=jnp.zeros((2 * b, T)),
         )
     )
     # Random bf16 weights (production serving precision): zeros weights were
@@ -86,23 +118,9 @@ def build_sampler_fn():
         for k, l in zip(keys, leaves)
     ])
 
-    decoder = VideoDecoder(
-        ch=128, ch_mult=[1, 2, 4, 4], num_res_blocks=2, attn_resolutions=[],
-        z_channels=4, double_z=True, in_channels=3, out_ch=3, resolution=256,
-        video_kernel_size=[3, 1, 1], dtype=jnp.bfloat16,
-    )
-    dshapes = jax.eval_shape(
-        lambda: decoder.init(jax.random.PRNGKey(0),
-                             jnp.zeros((T, HL, WL, 4), jnp.bfloat16), timesteps=T)
-    )
-    dleaves, dtreedef = jax.tree_util.tree_flatten(dshapes)
-    dkeys = jax.random.split(jax.random.PRNGKey(2), len(dleaves))
-    dparams = jax.tree_util.tree_unflatten(dtreedef, [
-        jax.random.normal(k, l.shape, jnp.bfloat16) * 0.02
-        for k, l in zip(dkeys, dleaves)
-    ])
+    decoder, dparams = make_decoder()
 
-    ioi2 = jnp.zeros((2, T))
+    ioi2 = jnp.zeros((2 * b, T))
 
     # Optional XLA compiler-option overrides, e.g.
     #   GCD_XLA_OPTS="xla_tpu_scoped_vmem_limit_kib=65536,..." python bench.py
@@ -133,16 +151,16 @@ def build_sampler_fn():
             return denoiser(network, x, sigma, cond)
 
         cond = {
-            "crossattn": jnp.zeros((T, 1, 1024)),
-            "vector": jnp.zeros((T, 768 + 128)),
-            "concat": jnp.zeros((T, HL, WL, 4)),
+            "crossattn": jnp.zeros((b * T, 1, 1024)),
+            "vector": jnp.zeros((b * T, 768 + 128)),
+            "concat": jnp.zeros((b * T, HL, WL, 4)),
         }
         uc = {
-            "crossattn": jnp.zeros((T, 1, 1024)),
-            "vector": jnp.zeros((T, 768 + 128)),
-            "concat": jnp.zeros((T, HL, WL, 4)),
+            "crossattn": jnp.zeros((b * T, 1, 1024)),
+            "vector": jnp.zeros((b * T, 768 + 128)),
+            "concat": jnp.zeros((b * T, HL, WL, 4)),
         }
-        noise = jax.random.normal(key, (T, HL, WL, 4), dtype=jnp.float32)
+        noise = jax.random.normal(key, (b * T, HL, WL, 4), dtype=jnp.float32)
         z = sampler(denoise_fn, noise, cond, uc, key=key)
         frames = decoder.apply(dparams, (z / 0.18215).astype(jnp.bfloat16),
                                timesteps=T)
@@ -153,7 +171,12 @@ def build_sampler_fn():
 
 def run_inner():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    run_clip = build_sampler_fn()
+    # Serving-throughput mode: GCD_BENCH_BATCH=N packs N clips per program.
+    # The driver metric is the default N=1 (the reference's per-clip
+    # latency-bound workload); N>1 measures frames/s/chip when requests are
+    # batched, the production-serving configuration.
+    batch = int(os.environ.get("GCD_BENCH_BATCH", "1"))
+    run_clip = build_sampler_fn(batch)
     key = jax.random.PRNGKey(0)
 
     t0 = time.time()
@@ -170,11 +193,11 @@ def run_inner():
         times.append(time.time() - t0)
     clip_time = min(times)
     p50 = sorted(times)[len(times) // 2]
-    fps = T / clip_time
-    log(f"clip times: {['%.2f' % t for t in times]} -> {fps:.2f} frames/s, "
-        f"p50 clip latency {p50:.2f}s")
+    fps = batch * T / clip_time
+    log(f"batch {batch} clip times: {['%.2f' % t for t in times]} -> "
+        f"{fps:.2f} frames/s, p50 batch latency {p50:.2f}s")
 
-    print(json.dumps({
+    result = {
         "metric": "frames/sec/chip, 14f 384x256 25-step EulerEDM + VAE decode",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
@@ -183,7 +206,10 @@ def run_inner():
         # BASELINE.md's >=5x north star is quoted for v5p chips; this env's
         # single chip is the much smaller v5e-lite (VERDICT r1 weak #4).
         "chip": jax.devices()[0].device_kind,
-    }))
+    }
+    if batch != 1:
+        result["clips_per_batch"] = batch
+    print(json.dumps(result))
 
 
 # --------------------------------------------------------------------------
@@ -243,8 +269,11 @@ def supervise() -> int:
                 log(r.stderr[-4000:])
             d = _parse_result(r.stdout) if r.returncode == 0 else None
             if d is not None:
-                with open(_LAST_GOOD, "w") as f:
-                    json.dump(d, f)
+                if "clips_per_batch" not in d:
+                    # Only the driver's default single-clip config may update
+                    # the stale-fallback record.
+                    with open(_LAST_GOOD, "w") as f:
+                        json.dump(d, f)
                 print(json.dumps(d))
                 return 0
             log(f"[bench] inner run failed (rc={r.returncode})")

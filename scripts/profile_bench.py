@@ -25,19 +25,36 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(outdir: str) -> None:
+def capture(outdir: str, what: str = "clip") -> None:
     import jax
 
-    from bench import build_sampler_fn
+    if what == "decode":
+        import jax.numpy as jnp
 
-    run_clip = build_sampler_fn()
-    key = jax.random.PRNGKey(0)
+        from bench import HL, T, WL, make_decoder
+
+        decoder, dparams = make_decoder()
+
+        @jax.jit
+        def run(z):
+            return decoder.apply(dparams, z, timesteps=T)
+
+        z = jax.random.normal(jax.random.PRNGKey(0), (T, HL, WL, 4),
+                              dtype=jnp.bfloat16)
+        fn = lambda i: run(z)
+    else:
+        from bench import build_sampler_fn
+
+        run_clip = build_sampler_fn()
+        key = jax.random.PRNGKey(0)
+        fn = lambda i: run_clip(jax.random.fold_in(key, i))
+
     t0 = time.time()
-    run_clip(key).block_until_ready()
+    fn(0).block_until_ready()
     print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
     with jax.profiler.trace(outdir):
         for i in range(2):
-            run_clip(jax.random.fold_in(key, i)).block_until_ready()
+            fn(i).block_until_ready()
 
 
 def hlo_stats_tsv(outdir: str) -> str:
@@ -104,10 +121,12 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--reuse", action="store_true",
                     help="skip capture, summarize existing trace")
+    ap.add_argument("--what", default="clip", choices=["clip", "decode"],
+                    help="profile the full bench clip or the VAE decode leg")
     args = ap.parse_args()
     if not args.reuse:
         os.makedirs(args.outdir, exist_ok=True)
-        capture(args.outdir)
+        capture(args.outdir, args.what)
     tsv_path = os.path.join(args.outdir, "hlo_stats.tsv")
     tsv = hlo_stats_tsv(args.outdir)
     with open(tsv_path, "w") as fh:
