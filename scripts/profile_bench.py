@@ -25,7 +25,7 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(outdir: str, what: str = "clip") -> None:
+def capture(outdir: str, what: str = "clip", time_iters: int = 0) -> None:
     import jax
 
     if what == "decode":
@@ -52,6 +52,16 @@ def capture(outdir: str, what: str = "clip") -> None:
     t0 = time.time()
     fn(0).block_until_ready()
     print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    if time_iters:
+        times = []
+        for i in range(time_iters):
+            t0 = time.time()
+            fn(i).block_until_ready()
+            times.append(time.time() - t0)
+        print(f"{what}: min {min(times)*1e3:.1f} ms, "
+              f"median {sorted(times)[len(times)//2]*1e3:.1f} ms over "
+              f"{time_iters} iters: {['%.0f' % (t*1e3) for t in times]}")
+        return
     with jax.profiler.trace(outdir):
         for i in range(2):
             fn(i).block_until_ready()
@@ -123,10 +133,15 @@ def main() -> None:
                     help="skip capture, summarize existing trace")
     ap.add_argument("--what", default="clip", choices=["clip", "decode"],
                     help="profile the full bench clip or the VAE decode leg")
+    ap.add_argument("--time", type=int, default=0, metavar="N",
+                    help="skip tracing; just time N iterations (for kernel-"
+                         "flag A/Bs via GCD_* env vars)")
     args = ap.parse_args()
     if not args.reuse:
         os.makedirs(args.outdir, exist_ok=True)
-        capture(args.outdir, args.what)
+        capture(args.outdir, args.what, args.time)
+        if args.time:
+            return
     tsv_path = os.path.join(args.outdir, "hlo_stats.tsv")
     tsv = hlo_stats_tsv(args.outdir)
     with open(tsv_path, "w") as fh:
