@@ -41,6 +41,25 @@ class _NormParams(nn.Module):
         return scale, bias
 
 
+class _ConvParams(nn.Module):
+    """Kernel/bias holder with nn.Conv's param names and default inits, so a
+    module can choose between the plain conv and a fused formulation (e.g.
+    ops/subpixel.py) while the checkpoint key map stays identical."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, in_features, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return kernel, bias
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32 groups) computed in fp32 regardless of activation dtype,
     with an optional fused SiLU epilogue. Runs the channel-first XLA

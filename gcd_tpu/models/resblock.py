@@ -40,13 +40,20 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out_ch = self.out_channels or x.shape[-1]
+        if not self.use_conv:
+            return nearest_upsample_2x(x)
+        from gcd_tpu.models.layers import _ConvParams
+        from gcd_tpu.ops.dispatch import kernel_enabled
+        from gcd_tpu.ops.subpixel import upsample2x_conv3x3
+
+        kernel, bias = _ConvParams(out_ch, name="conv")(x.shape[-1])
+        if kernel_enabled("subpix_upsample"):
+            return upsample2x_conv3x3(x, kernel, bias, dtype=self.dtype)
         x = nearest_upsample_2x(x)
-        if self.use_conv:
-            x = nn.Conv(
-                out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
-                name="conv",
-            )(x)
-        return x
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(self.dtype)
 
 
 class Downsample(nn.Module):

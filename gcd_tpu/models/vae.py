@@ -117,10 +117,19 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from gcd_tpu.models.layers import _ConvParams
+        from gcd_tpu.ops.dispatch import kernel_enabled
+        from gcd_tpu.ops.subpixel import upsample2x_conv3x3
+
         c = x.shape[-1]
+        kernel, bias = _ConvParams(c, name="conv")(c)
+        if kernel_enabled("subpix_upsample"):
+            return upsample2x_conv3x3(x, kernel, bias, dtype=self.dtype)
         x = nearest_upsample_2x(x)
-        return nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
-                       name="conv")(x)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(self.dtype)
 
 
 @register("sgm.modules.diffusionmodules.model.Encoder")

@@ -32,6 +32,9 @@ Flag -> env var -> meaning:
                                   (ops/spatial_conv.py; measured 3.80 vs
                                   5.10 f/s e2e - XLA materializes the 9x
                                   concat for 2D shifts - stays off)
+  subpix_upsample GCD_SUBPIX_UP   nearest-2x upsample folded into the next
+                                  3x3 conv as a 4-phase 2x2 conv, 2.25x
+                                  fewer MACs (ops/subpixel.py)
 """
 
 from __future__ import annotations
@@ -51,6 +54,7 @@ _DEFAULTS = {
     "tconv_matmul": True,
     "gn_stats_pallas": False,
     "sconv_matmul": False,
+    "subpix_upsample": False,
 }
 
 _ENV = {
@@ -64,6 +68,7 @@ _ENV = {
     "tconv_matmul": "GCD_TCONV_MATMUL",
     "gn_stats_pallas": "GCD_GN_STATS",
     "sconv_matmul": "GCD_SCONV_MATMUL",
+    "subpix_upsample": "GCD_SUBPIX_UP",
 }
 
 _tls = threading.local()
