@@ -2,18 +2,7 @@
 aliases, so `instantiate_from_config` can resolve both `gcd_tpu.*` and the
 reference's `sgm.*` target strings from unmodified YAML configs."""
 
+import gcd_tpu.data  # noqa: F401
 import gcd_tpu.diffusion  # noqa: F401
-
-# Model / engine / data registrations are appended as those layers land.
-try:
-    import gcd_tpu.models  # noqa: F401
-except ImportError:
-    pass
-try:
-    import gcd_tpu.engine  # noqa: F401
-except ImportError:
-    pass
-try:
-    import gcd_tpu.data  # noqa: F401
-except ImportError:
-    pass
+import gcd_tpu.engine  # noqa: F401
+import gcd_tpu.models  # noqa: F401
