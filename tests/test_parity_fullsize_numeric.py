@@ -198,3 +198,14 @@ def test_full_video_decoder_numeric_parity():
 
     assert out.shape == golden["out"].shape
     np.testing.assert_allclose(out, golden["out"], rtol=2e-3, atol=1e-3)
+
+    # Subpixel-upsample path (ops/subpixel.py): the folded formulation must
+    # hit the SAME reference golden within the same tolerance — this is the
+    # full-size pre-validation for flipping the `subpix_upsample` default.
+    from gcd_tpu.ops.dispatch import kernel_flags
+
+    with kernel_flags(subpix_upsample=True):
+        out_sp = jax.jit(lambda p, z: model.apply(p, z, timesteps=T))(
+            {"params": params}, jnp.asarray(z.transpose(0, 2, 3, 1)))
+    out_sp = np.asarray(out_sp).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out_sp, golden["out"], rtol=2e-3, atol=1e-3)
