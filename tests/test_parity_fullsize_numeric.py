@@ -156,6 +156,20 @@ def test_full_unet_numeric_parity():
     # it far below any behaviorally relevant difference (latents are O(1)).
     np.testing.assert_allclose(out, golden["out"], rtol=2e-3, atol=1e-3)
 
+    # Subpixel-upsample path at full size (see the decoder test's variant).
+    from gcd_tpu.ops.dispatch import kernel_flags
+
+    with kernel_flags(subpix_upsample=True):
+        out_sp = jax.jit(
+            lambda p, *a: model.apply(
+                p, *a, num_video_frames=T,
+                image_only_indicator=jnp.asarray(inp["ioi"]))
+        )({"params": params}, jnp.asarray(inp["x"].transpose(0, 2, 3, 1)),
+          jnp.asarray(inp["ts"]), jnp.asarray(inp["ctx"]),
+          jnp.asarray(inp["y"]))
+    out_sp = np.asarray(out_sp).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out_sp, golden["out"], rtol=2e-3, atol=1e-3)
+
 
 def test_full_video_decoder_numeric_parity():
     import torch
