@@ -34,10 +34,16 @@ def capture(outdir: str, what: str = "clip", time_iters: int = 0) -> None:
         from bench import HL, T, WL, make_decoder
 
         decoder, dparams = make_decoder()
+        # GCD_DECODE_CHUNK=n decodes in T/n chunks (the reference's
+        # decoding_t path: temporal convs group per chunk) — a working-set
+        # timing experiment.
+        chunk = int(os.environ.get("GCD_DECODE_CHUNK", str(T)))
 
         @jax.jit
         def run(z):
-            return decoder.apply(dparams, z, timesteps=T)
+            outs = [decoder.apply(dparams, z[i:i + chunk], timesteps=chunk)
+                    for i in range(0, T, chunk)]
+            return jnp.concatenate(outs, axis=0)
 
         z = jax.random.normal(jax.random.PRNGKey(0), (T, HL, WL, 4),
                               dtype=jnp.bfloat16)
