@@ -1,0 +1,53 @@
+"""scripts/test.py end-to-end CLI smoke on the fake Kubric root: controls
+regeneration -> point-cloud render -> sampling (random weights) -> per-frame
+metrics with visible/occluded splits -> gallery mp4s."""
+
+import json
+import os
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _ensure_fake_root():
+    from scripts.make_fake_data import make_kubric_root
+
+    root = "/tmp/kubric_fake"  # fixed path baked into smoke_kubric_tiny.yaml
+    if not os.path.isdir(os.path.join(root, "pcl", "scn00000")):
+        make_kubric_root(root)
+    return root
+
+
+def test_testpy_end_to_end(tmp_path):
+    _ensure_fake_root()
+    import scripts.test as test_mod
+
+    out = str(tmp_path / "eval")
+    test_mod.main([
+        "--config_path", "configs/smoke_kubric_tiny.yaml",
+        "--model_path", "",
+        "--input", "0",
+        "--generate_controls",
+        "--samples_per_scene", "1",
+        "--num_samples", "1",
+        "--num_steps", "2",
+        "--num_frames", "3",
+        "--frame_width", "48",
+        "--frame_height", "32",
+        "--decoding_t", "3",
+        "--galleries", "all",
+        "--output", out,
+    ])
+
+    mdir = os.path.join(out, "random")
+    with open(os.path.join(mdir, "summary_metrics.json")) as f:
+        summary = json.load(f)
+    s = summary["summary"] if "summary" in summary else summary
+    for k in ("psnr", "ssim", "psnr_visible", "psnr_occluded"):
+        assert k in s, (k, s)
+    # per-example artifacts: metrics json + the gallery mp4 family
+    files = os.listdir(mdir)
+    assert any(f.endswith("_metrics.json") for f in files)
+    for tag in ("_gal.mp4", "_io.mp4", "_err.mp4", "_lat.mp4", "_proj.mp4"):
+        assert any(f.endswith(tag) for f in files), (tag, files)
