@@ -1,0 +1,100 @@
+"""bench.py supervisor: result parsing, retry-after-wedge, stale fallback.
+
+Round 1's headline number was lost because one transient TPU wedge killed the
+bench with no retry (VERDICT.md round-1, "What's weak" #2). The supervisor in
+bench.py is the fix; these tests pin its control flow without any TPU use by
+monkeypatching subprocess.run / _probe_once.
+"""
+
+import json
+import subprocess
+import types
+
+import pytest
+
+import bench
+
+
+GOOD = {"metric": "frames/sec/chip, test", "value": 5.0,
+        "unit": "frames/sec/chip", "vs_baseline": 1.4}
+
+
+def _completed(rc=0, stdout="", stderr=""):
+    return subprocess.CompletedProcess(args=[], returncode=rc,
+                                       stdout=stdout, stderr=stderr)
+
+
+def test_parse_result_picks_last_json_line():
+    noise = "warning: something\nnot json\n"
+    two = json.dumps({"metric": "m", "value": 1.0}) + "\n" + json.dumps(GOOD)
+    assert bench._parse_result(noise + two)["value"] == 5.0
+    assert bench._parse_result("") is None
+    assert bench._parse_result("{\"value\": 3}") is None  # no "metric" key
+    assert bench._parse_result(None) is None
+
+
+def test_supervisor_retries_then_succeeds(monkeypatch, tmp_path, capsys):
+    """First inner run dies (wedge), one probe fails, then probe + run pass."""
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "last_good.json"))
+    monkeypatch.setenv("GCD_BENCH_BUDGET_S", "60")
+    calls = {"run": 0, "probe": 0}
+
+    def fake_run(cmd, timeout=None, capture_output=True, text=False, **kw):
+        calls["run"] += 1
+        if calls["run"] == 1:
+            return _completed(rc=1, stdout="", stderr="TPU device error")
+        return _completed(rc=0, stdout=json.dumps(GOOD) + "\n")
+
+    def fake_probe(i, timeout_s=0.0):
+        calls["probe"] += 1
+        return calls["probe"] >= 2
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(bench, "_probe_once", fake_probe)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    assert bench.supervise() == 0
+    out = capsys.readouterr().out
+    final = json.loads(out.strip().splitlines()[-1])
+    assert final["value"] == 5.0
+    assert calls["run"] == 2 and calls["probe"] == 2
+    # success from the default single-clip config records the fallback file
+    assert json.load(open(bench._LAST_GOOD))["value"] == 5.0
+
+
+def test_supervisor_stale_fallback(monkeypatch, tmp_path, capsys):
+    """Budget exhausted with a prior good run -> re-emit it marked stale."""
+    last = tmp_path / "last_good.json"
+    last.write_text(json.dumps(GOOD))
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(last))
+    monkeypatch.setenv("GCD_BENCH_BUDGET_S", "0")  # immediately exhausted
+
+    assert bench.supervise() == 0
+    final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert final["value"] == 5.0
+    assert final["stale"] is True and "note" in final
+
+
+def test_supervisor_no_fallback_errors(monkeypatch, tmp_path, capsys):
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "missing.json"))
+    monkeypatch.setenv("GCD_BENCH_BUDGET_S", "0")
+    assert bench.supervise() == 1
+    final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # still emits a parseable driver line with the error noted
+    assert final["metric"].startswith("frames/sec/chip")
+    assert final["value"] == 0.0 and "error" in final
+
+
+def test_batched_run_never_updates_fallback(monkeypatch, tmp_path, capsys):
+    """GCD_BENCH_BATCH>1 results must not poison the single-clip record."""
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "last_good.json"))
+    monkeypatch.setenv("GCD_BENCH_BUDGET_S", "60")
+    batched = dict(GOOD, clips_per_batch=4, value=9.9)
+
+    monkeypatch.setattr(
+        bench.subprocess, "run",
+        lambda *a, **kw: _completed(rc=0, stdout=json.dumps(batched)))
+    assert bench.supervise() == 0
+    final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert final["clips_per_batch"] == 4
+    assert not (tmp_path / "last_good.json").exists()
