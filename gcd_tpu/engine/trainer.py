@@ -201,15 +201,17 @@ def setup_sharded_training(
     mesh=None,
     data: int = -1,
     fsdp: int = 1,
+    tensor: int = 1,
     schedule_fn=None,
 ):
     """Place params/opt-state on the mesh and return (state, jitted step, mesh).
 
     The returned step expects batches placed via `shard_batch(batch, mesh)`
-    (leading B*T axis over ("data","fsdp")).
+    (leading B*T axis over ("data","fsdp")). tensor > 1 adds Megatron-style
+    tensor parallelism over the attention/MLP projections (mesh.py _tp_spec).
     """
     if mesh is None:
-        mesh = create_mesh(data=data, fsdp=fsdp)
+        mesh = create_mesh(data=data, fsdp=fsdp, tensor=tensor)
     param_shardings = make_param_shardings(params, mesh)
     params = jax.device_put(params, param_shardings)
     state, opt = create_train_state(engine, params, learning_rate, schedule_fn)

@@ -28,15 +28,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def create_mesh(
     data: int = -1,
     fsdp: int = 1,
+    tensor: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a ("data", "fsdp") mesh. data=-1 consumes the remaining devices."""
+    """Build a ("data", "fsdp"[, "tensor"]) mesh.
+
+    data=-1 consumes the remaining devices. The "tensor" axis (Megatron-style
+    tensor parallelism over attention/MLP feature dims; see
+    make_param_shardings) is only materialized when tensor > 1, so
+    2-axis callers and their PartitionSpecs are unaffected.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % fsdp == 0, f"{n} devices not divisible by fsdp={fsdp}"
-        data = n // fsdp
-    assert data * fsdp == n, f"mesh {data}x{fsdp} != {n} devices"
+        assert n % (fsdp * tensor) == 0, (
+            f"{n} devices not divisible by fsdp={fsdp}*tensor={tensor}")
+        data = n // (fsdp * tensor)
+    assert data * fsdp * tensor == n, (
+        f"mesh {data}x{fsdp}x{tensor} != {n} devices")
+    if tensor > 1:
+        dev_array = np.asarray(devices).reshape(data, fsdp, tensor)
+        return Mesh(dev_array, ("data", "fsdp", "tensor"))
     dev_array = np.asarray(devices).reshape(data, fsdp)
     return Mesh(dev_array, ("data", "fsdp"))
 
@@ -75,17 +87,67 @@ _FSDP_EXCLUDE_SUBSTRINGS = (
 )
 
 
+# Megatron-style tensor-parallel placement for the transformer blocks
+# (attention.py / layers.py param names). Column-parallel layers shard their
+# OUTPUT features ("tensor" on the kernel's last dim); the paired
+# row-parallel layer shards its INPUT features (first dim), so activations
+# stay head-sharded between them and GSPMD emits one all-reduce per block
+# after the row layer — the classic Megatron cut, expressed purely as
+# sharding annotations (XLA inserts the collectives).
+_TP_COLUMN_PARENTS = ("to_q", "to_k", "to_v", "net_0_proj")
+_TP_ROW_PARENTS = ("to_out_0", "net_2")
+
+
+def _tp_spec(path_names, shape, tensor_size: int) -> Optional[list]:
+    """Tensor-axis placement for one leaf, or None if no TP rule applies."""
+    if len(path_names) < 2 or tensor_size <= 1:
+        return None
+    parent, leaf = path_names[-2], path_names[-1]
+    # GEGLU's fused 2*inner projection lives at <ff>/net_0/proj/{kernel,bias}.
+    if parent == "proj" and len(path_names) >= 3 and path_names[-3] == "net_0":
+        parent = "net_0_proj"
+    if parent in _TP_COLUMN_PARENTS:
+        dim = len(shape) - 1  # kernel (in, out) -> out; bias (out,) -> out
+        if shape[dim] % tensor_size == 0:
+            spec = [None] * len(shape)
+            spec[dim] = "tensor"
+            return spec
+    if parent in _TP_ROW_PARENTS and leaf == "kernel" and len(shape) >= 2:
+        if shape[0] % tensor_size == 0:
+            spec = [None] * len(shape)
+            spec[0] = "tensor"
+            return spec
+        # row-parallel bias stays replicated (added after the all-reduce)
+    return None
+
+
 def make_param_shardings(params, mesh: Mesh, min_weight_size: int = 2**18):
-    """NamedSharding tree for a param pytree: fsdp-shard the largest divisible
-    axis of each big tensor, replicate the rest (and the per-video embedding
-    MLPs, see _FSDP_EXCLUDE_SUBSTRINGS)."""
+    """NamedSharding tree for a param pytree: tensor-shard the attention/MLP
+    projections when the mesh has a "tensor" axis (Megatron placement, see
+    _tp_spec), fsdp-shard the largest remaining divisible axis of each big
+    tensor, replicate the rest (and the per-video embedding MLPs, see
+    _FSDP_EXCLUDE_SUBSTRINGS)."""
     fsdp_size = mesh.shape["fsdp"]
+    tensor_size = mesh.shape.get("tensor", 1)
 
     def per_leaf(path, leaf):
         path_str = jax.tree_util.keystr(path)
         if any(s in path_str for s in _FSDP_EXCLUDE_SUBSTRINGS):
             return NamedSharding(mesh, P())
         shape = tuple(leaf.shape)
+        names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        spec = _tp_spec(names, shape, tensor_size)
+        if spec is not None:
+            # fsdp can still shard a *different* big dim of a TP leaf.
+            if int(np.prod(shape)) >= min_weight_size:
+                tp_dim = spec.index("tensor")
+                best, best_size = None, 0
+                for i, d in enumerate(shape):
+                    if i != tp_dim and d % fsdp_size == 0 and d > best_size:
+                        best, best_size = i, d
+                if best is not None and fsdp_size > 1:
+                    spec[best] = "fsdp"
+            return NamedSharding(mesh, P(*spec))
         dim = _choose_fsdp_dim(shape, fsdp_size, min_weight_size)
         if dim is None:
             return NamedSharding(mesh, P())

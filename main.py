@@ -38,6 +38,9 @@ def get_parser():
     parser.add_argument("--resume_from_checkpoint", type=str, default="")
     parser.add_argument("--max_steps", type=int, default=-1)
     parser.add_argument("--mesh_fsdp", type=int, default=1)
+    parser.add_argument("--mesh_tensor", type=int, default=1,
+                        help="Megatron-style tensor-parallel axis size over "
+                        "the attention/MLP projections (parallel/mesh.py)")
     parser.add_argument("--wandb", action="store_true", default=False)
     parser.add_argument("--projectname", type=str, default="gcd_tpu")
     parser.add_argument("--no_date", action="store_true", default=False)
@@ -205,7 +208,7 @@ def main(argv=None):
         params = engine.load_torch_checkpoint(str(ckpt_path), params)
         params = jax.tree_util.tree_map(jnp.asarray, params)
 
-    mesh = create_mesh(data=-1, fsdp=opt.mesh_fsdp)
+    mesh = create_mesh(data=-1, fsdp=opt.mesh_fsdp, tensor=opt.mesh_tensor)
     print(f"Mesh: {dict(mesh.shape)} over {n_devices} devices")
     params, _ = shard_params(params, mesh)
 
