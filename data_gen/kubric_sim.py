@@ -344,6 +344,9 @@ class KubricBackend:
         data_stack["segmentation"] = self.kb.adjust_segmentation_idxs(
             data_stack["segmentation"], self.scene.assets,
             self.foreground_assets)
+        # Retained for get_metadata: kubric's compute_bboxes walks the
+        # per-frame segmentation array (kubric/post_processing.py).
+        self._last_segmentation = data_stack["segmentation"]
         if "depth" in data_stack:
             d = np.asarray(data_stack["depth"])
             if d.ndim == 4 and d.shape[-1] == 1:
@@ -352,9 +355,11 @@ class KubricBackend:
 
     def get_metadata(self) -> Dict:
         """Scene/camera/instance metadata via kubric's introspection helpers
-        (kubric_sim.py:756-782)."""
-        self.kb.post_processing.compute_bboxes(
-            None, self.foreground_assets)
+        (kubric_sim.py:756-782). Bounding boxes require the segmentation from
+        the last render() — kubric's compute_bboxes iterates it per frame."""
+        if getattr(self, "_last_segmentation", None) is not None:
+            self.kb.post_processing.compute_bboxes(
+                self._last_segmentation, self.foreground_assets)
         md = {
             "scene": self.kb.get_scene_metadata(self.scene),
             "camera": self.kb.get_camera_info(self.scene.camera),

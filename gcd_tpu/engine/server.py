@@ -81,10 +81,13 @@ class SamplerServer:
         self._queue.put(None)  # wake the worker
         if self._started:
             self._worker.join(timeout=timeout)
+        self._fail_pending(RuntimeError("server stopped"))
 
     def submit(self, clip_batch: Dict, key: Optional[jax.Array] = None) -> Future:
         """Enqueue one clip (arrays with a (T, ...) leading axis). Returns a
         Future resolving to the per-clip sample_video output dict."""
+        if self._stop.is_set():
+            raise RuntimeError("server stopped")
         t = int(np.asarray(clip_batch["image_only_indicator"]).shape[-1])
         if t != self._t:
             raise ValueError(f"server compiled for T={self._t}, got T={t}")
@@ -93,6 +96,18 @@ class SamplerServer:
             key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         self._queue.put((clip_batch, key, fut))
         return fut
+
+    def _fail_pending(self, exc: Exception) -> None:
+        """Fail every request still in the queue (requests that raced stop(),
+        or were enqueued behind the stop sentinel) instead of leaving their
+        futures unresolved forever."""
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None and not item[2].done():
+                item[2].set_exception(exc)
 
     # -- worker ------------------------------------------------------------
 

@@ -73,15 +73,23 @@ def _optax_from_optimizer_config(optimizer_config, lr):
     if p:
         raise ValueError(f"unsupported optimizer params for {target}: {sorted(p)}")
     if name == "adam":
+        if momentum is not None:
+            raise ValueError("torch.optim.Adam has no 'momentum' parameter")
         opt = optax.adam(lr, b1=b1, b2=b2, eps=eps)
         if wd:
             opt = optax.chain(optax.add_decayed_weights(float(wd)), opt)
         return opt
     if name == "adamw":
+        if momentum is not None:
+            raise ValueError("torch.optim.AdamW has no 'momentum' parameter")
         return optax.adamw(lr, b1=b1, b2=b2, eps=eps,
                            weight_decay=0.01 if wd is None else float(wd))
     if name == "sgd":
-        return optax.sgd(lr, momentum=momentum)
+        # torch.optim.SGD's weight_decay is classic L2 added to the gradient.
+        opt = optax.sgd(lr, momentum=momentum)
+        if wd:
+            opt = optax.chain(optax.add_decayed_weights(float(wd)), opt)
+        return opt
     raise ValueError(f"unsupported optimizer target {target!r}")
 
 

@@ -122,9 +122,14 @@ def _stats_kernel(x_ref, s1_ref, s2_ref, *, c: int, num_groups: int,
 
 
 def _pick_stats_tile(hw: int, c: int,
-                     budget: int = VMEM_BUDGET_BYTES) -> Optional[int]:
+                     budget: Optional[int] = None) -> Optional[int]:
     """Largest spatial tile (divisor of hw, multiple of 8 when possible)
-    whose fp32 working copy fits the VMEM budget."""
+    whose fp32 working copy fits the VMEM budget.
+
+    budget=None reads VMEM_BUDGET_BYTES at call time (a def-time default
+    would freeze the import-time value and ignore test/runtime overrides)."""
+    if budget is None:
+        budget = VMEM_BUDGET_BYTES
     max_rows = max(budget // (c * 6), 1)  # bf16 in + f32 copy ~ 6 B/elem
     best = None
     for t in range(1, hw + 1):

@@ -94,6 +94,14 @@ _FSDP_EXCLUDE_SUBSTRINGS = (
 # stay head-sharded between them and GSPMD emits one all-reduce per block
 # after the row layer — the classic Megatron cut, expressed purely as
 # sharding annotations (XLA inserts the collectives).
+#
+# The fused GEGLU projection (<ff>/net_0/proj, a (C, 2*inner) [value|gate]
+# concat) is deliberately NOT column-sharded: a plain PartitionSpec on the
+# concat dim puts the whole value half on one shard and the whole gate half
+# on the other, which the downstream half-slices (ops/fused_mlp.py) undo with
+# all-gathers — no actual split of the matmul. It stays on the fsdp rules;
+# net_2 alone still forms a valid row cut (GSPMD slices the replicated
+# activation for free and all-reduces the partial products).
 _TP_COLUMN_PARENTS = ("to_q", "to_k", "to_v", "net_0_proj")
 _TP_ROW_PARENTS = ("to_out_0", "net_2")
 
@@ -103,9 +111,6 @@ def _tp_spec(path_names, shape, tensor_size: int) -> Optional[list]:
     if len(path_names) < 2 or tensor_size <= 1:
         return None
     parent, leaf = path_names[-2], path_names[-1]
-    # GEGLU's fused 2*inner projection lives at <ff>/net_0/proj/{kernel,bias}.
-    if parent == "proj" and len(path_names) >= 3 and path_names[-3] == "net_0":
-        parent = "net_0_proj"
     if parent in _TP_COLUMN_PARENTS:
         dim = len(shape) - 1  # kernel (in, out) -> out; bias (out,) -> out
         if shape[dim] % tensor_size == 0:

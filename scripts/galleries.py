@@ -116,17 +116,25 @@ def create_visualizations(
     frames: Dict[str, list] = {k: [] for k in
                                ("rich1", "rich2", "rich3", "rich4", "rich5",
                                 "rich6", "rich7")}
+    # rich2/rich3/rich4 are carved out of the rich1 canvas, so it is built
+    # whenever any of them is enabled — but only SAVED when rich1 itself is
+    # selected (--galleries must be able to turn the expensive default off).
+    need_c1 = any(k in enable for k in ("rich1", "rich2", "rich3", "rich4"))
     for i in range(t):
-        # rich1: 2 rows x up-to-3 cols of panels.
-        cols1 = 2 if s <= 2 else 3
-        c1 = _grid(hp, wp, 2, cols1)
-        _panel(c1, 0, 0, hp, wp, input_rgb[i], f"Input (Frame {i})")
-        _panel(c1, 1, 0, hp, wp, gt_rgb[i], target_title)
-        for j in range(min(s, (cols1 - 1) * 2)):
-            _panel(c1, j % 2, 1 + j // 2, hp, wp, pred_samples_rgb[j][i],
-                   f"Output {j + 1} (PSNR {fp[j, i]:.2f}, "
-                   f"SSIM {fs[j, i]:.3f})")
-        frames["rich1"].append(c1)
+        if not need_c1:
+            c1 = None
+        else:
+            # rich1: 2 rows x up-to-3 cols of panels.
+            cols1 = 2 if s <= 2 else 3
+            c1 = _grid(hp, wp, 2, cols1)
+            _panel(c1, 0, 0, hp, wp, input_rgb[i], f"Input (Frame {i})")
+            _panel(c1, 1, 0, hp, wp, gt_rgb[i], target_title)
+            for j in range(min(s, (cols1 - 1) * 2)):
+                _panel(c1, j % 2, 1 + j // 2, hp, wp, pred_samples_rgb[j][i],
+                       f"Output {j + 1} (PSNR {fp[j, i]:.2f}, "
+                       f"SSIM {fs[j, i]:.3f})")
+            if "rich1" in enable:
+                frames["rich1"].append(c1)
 
         if s >= 1 and "rich2" in enable:
             c2 = c1[0:hp + BAND, 0:wp * 2].copy()
@@ -200,7 +208,7 @@ def create_visualizations(
 
     out: Dict[str, np.ndarray] = {}
     for name, fr in frames.items():
-        if not fr or (name != "rich1" and name not in enable):
+        if not fr or name not in enable:
             continue
         padded = [fr[0]] + fr + [fr[-1]] * 2
         out[name] = np.clip(np.stack(padded), 0.0, 1.0)

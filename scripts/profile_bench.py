@@ -41,7 +41,10 @@ def capture(outdir: str, what: str = "clip", time_iters: int = 0) -> None:
 
         @jax.jit
         def run(z):
-            outs = [decoder.apply(dparams, z[i:i + chunk], timesteps=chunk)
+            # The ragged tail (when chunk doesn't divide T) decodes with its
+            # own timesteps — the temporal convs group per actual chunk size.
+            outs = [decoder.apply(dparams, z[i:i + chunk],
+                                  timesteps=min(chunk, T - i))
                     for i in range(0, T, chunk)]
             return jnp.concatenate(outs, axis=0)
 

@@ -269,7 +269,7 @@ def main(argv=None):
     # across workers via --shard, while EVERY model sees every example — the
     # data render happens once per example and is reused across the pool.
     config_paths = [c for c in args.config_path.split(",") if c]
-    model_paths = [m for m in args.model_path.split(",")] or [""]
+    model_paths = [m for m in args.model_path.split(",") if m] or [""]
     if len(config_paths) == 1:
         config_paths = config_paths * len(model_paths)
     assert len(config_paths) == len(model_paths), \
@@ -310,8 +310,17 @@ def main(argv=None):
 
     dset = build_eval_dataset(bundles[0], args)
     out_dps = []
+    seen_names = {}
     for b in bundles:
-        dp = os.path.join(args.output, b.model_name)
+        # Distinct checkpoints can shorten to the same name (e.g. two
+        # runs' last.ckpt) — suffix duplicates so evals never collide.
+        name = b.model_name
+        if name in seen_names:
+            seen_names[name] += 1
+            name = f"{name}_{seen_names[name]}"
+        else:
+            seen_names[name] = 0
+        dp = os.path.join(args.output, name)
         os.makedirs(dp, exist_ok=True)
         out_dps.append(dp)
 

@@ -85,6 +85,44 @@ def test_supervisor_no_fallback_errors(monkeypatch, tmp_path, capsys):
     assert final["value"] == 0.0 and "error" in final
 
 
+def test_experiment_env_never_updates_fallback(monkeypatch, tmp_path, capsys):
+    """A GCD_* A/B run (different kernel config) must not poison the
+    stale-fallback record for the default benchmark."""
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "last_good.json"))
+    monkeypatch.setenv("GCD_BENCH_BUDGET_S", "60")
+    monkeypatch.setenv("GCD_SCONV_MATMUL", "1")
+    worse = dict(GOOD, value=3.8)
+
+    monkeypatch.setattr(
+        bench.subprocess, "run",
+        lambda *a, **kw: _completed(rc=0, stdout=json.dumps(worse)))
+    assert bench.supervise() == 0
+    final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert final["value"] == 3.8  # result still reported...
+    assert not (tmp_path / "last_good.json").exists()  # ...but not recorded
+
+
+def test_deterministic_failure_is_not_laundered_as_stale(monkeypatch, tmp_path,
+                                                         capsys):
+    """Fast inner failures while probes pass = a real bug: exit 1 with an
+    error line instead of re-emitting the old number as 'TPU unavailable'."""
+    last = tmp_path / "last_good.json"
+    last.write_text(json.dumps(GOOD))
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(last))
+    monkeypatch.setenv("GCD_BENCH_BUDGET_S", "600")
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    monkeypatch.setattr(
+        bench.subprocess, "run",
+        lambda *a, **kw: _completed(rc=1, stderr="ImportError: boom"))
+    monkeypatch.setattr(bench, "_probe_once", lambda i, timeout_s=150.0: True)
+
+    assert bench.supervise() == 1
+    final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert final["value"] == 0.0
+    assert "deterministic" in final["error"]
+
+
 def test_batched_run_never_updates_fallback(monkeypatch, tmp_path, capsys):
     """GCD_BENCH_BATCH>1 results must not poison the single-clip record."""
     monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "last_good.json"))

@@ -85,6 +85,18 @@ def test_create_visualizations_minimal(example):
     assert vis["rich1"].shape[2] == 2 * W
 
 
+def test_gallery_selection_can_disable_rich1(example):
+    """--galleries must be able to turn the (expensive, default) rich1 off;
+    rich2/3 still render — they carve panels out of the rich1 canvas, which
+    is built internally but not saved."""
+    inp, gt, samples, _ = example
+    md, unc = clip_metrics(samples[:1], gt)
+    vis = galleries.create_visualizations(inp, gt, samples[:1], md,
+                                          uncertainty=unc,
+                                          enable=("rich2", "rich3"))
+    assert set(vis) == {"rich2", "rich3"}
+
+
 def test_save_visualizations(tmp_path, example):
     import os
 

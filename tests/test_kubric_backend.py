@@ -251,6 +251,23 @@ def test_render_contract(backend):
     assert len(FakeScene.instances) == n_scenes
 
 
+def test_get_metadata_passes_rendered_segmentation_to_bboxes(backend):
+    """kubric's compute_bboxes walks the per-frame segmentation array — it
+    must receive the segmentation retained from the last render(), never
+    None (which crashes the real API)."""
+    spec = _spec()
+    out = backend.render(spec, sample_camera_rig()[0], num_frames=3)
+    backend.get_metadata()
+    args, _ = backend.kb.post_processing.compute_bboxes.call_args
+    assert args[0] is out["segmentation"]
+
+    # before any render: skip bbox computation rather than crash
+    backend.kb.post_processing.compute_bboxes.reset_mock()
+    backend._last_segmentation = None
+    backend.get_metadata()
+    assert not backend.kb.post_processing.compute_bboxes.called
+
+
 def test_orchestrator_with_real_backend_contract(backend):
     """KubricSimulatorRenderer drives the injected backend end-to-end."""
     orch = KubricSimulatorRenderer(backend=backend, seed=0)

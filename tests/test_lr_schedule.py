@@ -108,6 +108,20 @@ def test_optimizer_config_mapping_changes_updates():
     with pytest.raises(ValueError, match="unsupported optimizer target"):
         _optax_from_optimizer_config({"target": "torch.optim.LBFGS"}, 1e-2)
 
+    # SGD honors weight_decay (torch semantics: L2 into the gradient before
+    # the momentum buffer) instead of silently dropping it...
+    sgd = one_update(_optax_from_optimizer_config(
+        {"target": "torch.optim.SGD", "params": {"momentum": 0.9}}, 1e-2))
+    sgd_wd = one_update(_optax_from_optimizer_config(
+        {"target": "torch.optim.SGD",
+         "params": {"momentum": 0.9, "weight_decay": 0.1}}, 1e-2))
+    np.testing.assert_allclose(np.asarray(sgd_wd),
+                               np.asarray(sgd) - 1e-2 * 0.1 * 2.0, rtol=1e-4)
+    # ...and Adam/AdamW reject a momentum param instead of ignoring it.
+    with pytest.raises(ValueError, match="momentum"):
+        _optax_from_optimizer_config(
+            {"target": "torch.optim.Adam", "params": {"momentum": 0.9}}, 1e-2)
+
 
 def test_scheduler_changes_training_lr_trajectory():
     """End-to-end: a LambdaLinearScheduler with a long warmup must make the

@@ -94,8 +94,8 @@ def test_dryrun_multichip_partitions_without_involuntary_remat():
 
 
 def test_tensor_parallel_sharding_rules():
-    """Megatron placement: column layers (to_q/k/v, GEGLU proj) shard output
-    features over "tensor", row layers (to_out_0, net_2) shard input features;
+    """Megatron placement: column layers (to_q/k/v) shard output features
+    over "tensor", row layers (to_out_0, net_2) shard input features;
     row bias and non-TP leaves fall back to the fsdp rules."""
     from jax.sharding import PartitionSpec as P
 
@@ -116,8 +116,11 @@ def test_tensor_parallel_sharding_rules():
     assert blk["attn1"]["to_q"]["kernel"].spec == P(None, "tensor")
     assert blk["attn1"]["to_out_0"]["kernel"].spec == P("tensor", None)
     assert blk["attn1"]["to_out_0"]["bias"].spec == P()
-    assert blk["ff"]["net_0"]["proj"]["kernel"].spec == P(None, "tensor")
-    assert blk["ff"]["net_0"]["proj"]["bias"].spec == P("tensor")
+    # the fused GEGLU [value|gate] concat is NOT column-sharded (a plain
+    # spec on the concat dim puts each half on one shard; the downstream
+    # half-slices undo it with gathers) — it falls back to the fsdp rules.
+    assert blk["ff"]["net_0"]["proj"]["kernel"].spec == P()
+    assert blk["ff"]["net_0"]["proj"]["bias"].spec == P()
     assert blk["ff"]["net_2"]["kernel"].spec == P("tensor", None)
     # big TP leaves also pick up an fsdp dim (2D sharding)
     sh2 = make_param_shardings(params, mesh, min_weight_size=1)

@@ -95,6 +95,20 @@ def test_wrong_num_frames_rejected(engine, setup):
         srv.stop()
 
 
+def test_stop_fails_pending_and_rejects_new_submits(engine, setup):
+    """Requests racing shutdown must fail fast, not hang on unresolved
+    futures; submits after stop() must be rejected outright."""
+    _, fn = setup
+    srv = SamplerServer(fn, T, max_batch=MAX_BATCH, max_wait_ms=10)
+    # never started: anything queued must still be failed by stop()
+    fut = srv.submit(_clip(engine, 0))
+    srv.stop(timeout=1.0)
+    with pytest.raises(RuntimeError):
+        fut.result(timeout=5.0)
+    with pytest.raises(RuntimeError):
+        srv.submit(_clip(engine, 1))
+
+
 def test_http_front_end(engine, setup):
     import http.client
     import io as _io
