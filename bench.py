@@ -83,6 +83,10 @@ def build_sampler_fn(batch: int = 1):
     denoiser = Denoiser(
         {"target": "sgm.modules.diffusionmodules.denoiser_scaling.VScalingWithEDMcNoise"}
     )
+    # GCD_GUIDANCE_INTERVAL="lo,hi" measures the guidance-interval speed mode
+    # (CFG only inside the sigma band; bare conditional elsewhere) — an
+    # opt-in approximation, never the driver's default number.
+    gi = os.environ.get("GCD_GUIDANCE_INTERVAL")
     sampler = EulerEDMSampler(
         num_steps=STEPS,
         discretization_config={
@@ -93,6 +97,7 @@ def build_sampler_fn(batch: int = 1):
             "target": "sgm.modules.diffusionmodules.guiders.LinearPredictionGuider",
             "params": {"num_frames": T, "max_scale": 1.5, "min_scale": 1.0},
         },
+        guidance_interval=tuple(map(float, gi.split(","))) if gi else None,
     )
 
     b = batch
@@ -127,7 +132,6 @@ def build_sampler_fn(batch: int = 1):
     # (client-side XLA_FLAGS are rejected by the axon tunnel build; per-jit
     # compiler_options are forwarded to the remote compiler and do apply).
     import functools
-    import os
 
     opts = None
     if os.environ.get("GCD_XLA_OPTS"):

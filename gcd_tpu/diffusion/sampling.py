@@ -56,11 +56,22 @@ class BaseDiffusionSampler:
         guider_config: Optional[Dict] = None,
         verbose: bool = False,
         device: Optional[str] = None,  # accepted for config parity; unused on TPU
+        guidance_interval: Optional[tuple] = None,
     ):
+        """guidance_interval=(lo, hi): opt-in inference accelerator — apply
+        CFG only when sigma is inside [lo, hi] and run the bare conditional
+        branch (half the UNet batch, ~2x cheaper per step) outside it
+        (Kynkaanniemi et al. 2024, "Applying Guidance in a Limited Interval",
+        arXiv:2404.07724: guidance mostly matters at mid-range noise levels).
+        None (default) = exact CFG at every step, the reference protocol
+        (sgm/modules/diffusionmodules/sampling.py:101-121)."""
         self.num_steps = num_steps
         self.discretization = instantiate_from_config(discretization_config)
         self.guider = instantiate_from_config(default(guider_config, DEFAULT_GUIDER))
         self.verbose = verbose
+        self.guidance_interval = (
+            tuple(float(v) for v in guidance_interval)
+            if guidance_interval is not None else None)
 
     def get_sigmas_np(self, num_steps: Optional[int]) -> np.ndarray:
         n = self.num_steps if num_steps is None else num_steps
@@ -76,9 +87,24 @@ class BaseDiffusionSampler:
         return x, s_in, sigmas, len(sigmas), cond, uc
 
     def denoise(self, x, denoiser: DenoiserFn, sigma, cond, uc):
-        x_in, s_in, c_in = self.guider.prepare_inputs(x, sigma, cond, uc)
-        denoised = denoiser(x_in, s_in, c_in)
-        return self.guider(denoised, sigma)
+        def guided(x):
+            x_in, s_in, c_in = self.guider.prepare_inputs(x, sigma, cond, uc)
+            return self.guider(denoiser(x_in, s_in, c_in), sigma)
+
+        if self.guidance_interval is None:
+            return guided(x)
+
+        # Outside [lo, hi]: bare conditional evaluation — the same result the
+        # guided path converges to at scale->1, at half the UNet batch. Both
+        # branches produce (B*T, ...) so lax.cond picks one at runtime inside
+        # the compiled scan.
+        lo, hi = self.guidance_interval
+
+        def plain(x):
+            return denoiser(x, sigma, cond)
+
+        s0 = sigma.reshape(-1)[0]  # sigma is uniform across the batch
+        return jax.lax.cond((s0 >= lo) & (s0 <= hi), guided, plain, x)
 
 
 class SingleStepDiffusionSampler(BaseDiffusionSampler):

@@ -133,6 +133,41 @@ def test_samplers_converge_with_perfect_denoiser(sampler_cls, key):
     np.testing.assert_allclose(np.asarray(out), 3.5, rtol=2e-2, atol=2e-2)
 
 
+def test_guidance_interval(key):
+    """guidance_interval: full-coverage interval must be bit-identical to
+    the default exact-CFG path; an empty interval must equal bare
+    conditional sampling (the lax.cond 'plain' branch everywhere)."""
+    disc_cfg = {
+        "target": "sgm.modules.diffusionmodules.discretizer.EDMDiscretization",
+        "params": {"sigma_max": 700.0},
+    }
+    guider_cfg = {
+        "target": "sgm.modules.diffusionmodules.guiders.LinearPredictionGuider",
+        "params": {"num_frames": 2, "max_scale": 1.5, "min_scale": 1.0},
+    }
+
+    def denoiser(x, sigma, cond):
+        return x * 0.5 + cond["vector"].mean()
+
+    cond = {"vector": jnp.ones((2, 3))}
+    uc = {"vector": jnp.zeros((2, 3))}
+    noise = jax.random.normal(key, (2, 4, 4, 1))
+
+    def run(**kw):
+        sampler = EulerEDMSampler(num_steps=5, discretization_config=disc_cfg,
+                                  **kw)
+        return np.asarray(jax.jit(
+            lambda n: sampler(denoiser, n, cond, uc, key=key))(noise))
+
+    exact = run(guider_config=guider_cfg)
+    always = run(guider_config=guider_cfg, guidance_interval=(0.0, 1e9))
+    never = run(guider_config=guider_cfg, guidance_interval=(-2.0, -1.0))
+    plain = run()  # IdentityGuider: bare conditional evaluation
+    np.testing.assert_array_equal(always, exact)
+    np.testing.assert_allclose(never, plain, rtol=1e-6, atol=1e-6)
+    assert not np.allclose(never, exact)
+
+
 def test_euler_sampler_gaussian_flow(key):
     """For x ~ N(0, I), D(x, sigma) = x/(1+sigma^2); the PF-ODE contracts the
     initial noise at sqrt(1+sigma_max^2) back to the unit sphere."""
