@@ -76,6 +76,7 @@ def load_model_bundle(config_path: str, model_path: str, support_ema: bool = Fal
                       num_steps: int = 25, num_frames: int = 14,
                       max_scale: float = 1.5, min_scale: float = 1.0,
                       img_hw=(256, 384), compute_dtype: str = "bfloat16",
+                      guidance_interval=None,
                       verbose: bool = False) -> ModelBundle:
     """Build the engine from an inference config with the reference's config
     surgery (eval_utils.py:43-58), then load weights (torch checkpoint or
@@ -95,6 +96,11 @@ def load_model_bundle(config_path: str, model_path: str, support_ema: bool = Fal
     set_by_path(test_config, gp + ".num_frames", int(num_frames))
     set_by_path(test_config, gp + ".max_scale", float(max_scale))
     set_by_path(test_config, gp + ".min_scale", float(min_scale))
+    if guidance_interval is not None:
+        # opt-in speed mode (diffusion/sampling.py BaseDiffusionSampler)
+        set_by_path(test_config,
+                    "model.params.sampler_config.params.guidance_interval",
+                    [float(v) for v in guidance_interval])
 
     engine = instantiate_from_config(test_config["model"])
 

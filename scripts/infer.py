@@ -50,6 +50,8 @@ def get_parser():
     p.add_argument("--radius", type=float, default=0.0)
     p.add_argument("--guider_max_scale", type=float, default=1.5)
     p.add_argument("--guider_min_scale", type=float, default=1.0)
+    p.add_argument("--guidance_interval", type=str, default="",
+                   help="lo,hi sigma band: CFG only inside it (opt-in speed mode)")
     p.add_argument("--motion_bucket", type=int, default=127)
     p.add_argument("--force_custom_mbid", action="store_true")
     p.add_argument("--cond_aug", type=float, default=0.02)
@@ -134,6 +136,8 @@ def main(argv=None):
         args.config_path, args.model_path, support_ema=bool(args.support_ema),
         num_steps=args.num_steps, num_frames=args.num_frames,
         max_scale=args.guider_max_scale, min_scale=args.guider_min_scale,
+            guidance_interval=(tuple(map(float, args.guidance_interval.split(",")))
+                               if args.guidance_interval else None),
         img_hw=(args.frame_height, args.frame_width), verbose=True)
 
     inputs = eval_utils.resolve_input_paths(args.input)

@@ -59,6 +59,8 @@ def get_parser():
     p.add_argument("--frame_height", type=int, default=256)
     p.add_argument("--guider_max_scale", type=float, default=1.5)
     p.add_argument("--guider_min_scale", type=float, default=1.0)
+    p.add_argument("--guidance_interval", type=str, default="",
+                   help="lo,hi sigma band: CFG only inside it (opt-in speed mode)")
     p.add_argument("--decoding_t", type=int, default=14)
     p.add_argument("--support_ema", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
@@ -280,6 +282,8 @@ def main(argv=None):
             cp, mp, support_ema=bool(args.support_ema),
             num_steps=args.num_steps, num_frames=args.num_frames,
             max_scale=args.guider_max_scale, min_scale=args.guider_min_scale,
+            guidance_interval=(tuple(map(float, args.guidance_interval.split(",")))
+                               if args.guidance_interval else None),
             img_hw=(args.frame_height, args.frame_width), verbose=True)
         for cp, mp in zip(config_paths, model_paths)
     ]
