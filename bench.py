@@ -265,7 +265,38 @@ def _is_default_config() -> bool:
                    for k in os.environ)
 
 
+def _emit_fallback_and_exit(rc_if_missing: int = 1) -> int:
+    """Print the most recent good result marked stale (or an error line) —
+    shared by budget exhaustion and the SIGTERM path, so an impatient parent
+    killing the supervisor still gets a parseable driver line."""
+    if os.path.exists(_LAST_GOOD):
+        with open(_LAST_GOOD) as f:
+            d = json.load(f)
+        d["stale"] = True
+        d["note"] = ("no successful run within the bench budget (TPU wedged "
+                     "or slow); value is the most recent successful run of "
+                     "this same benchmark")
+        print(json.dumps(d), flush=True)
+        return 0
+    print(json.dumps({
+        "metric": "frames/sec/chip, 14f 384x256 25-step EulerEDM + VAE decode",
+        "value": 0.0,
+        "unit": "frames/sec/chip",
+        "vs_baseline": 0.0,
+        "error": "TPU unavailable for the entire bench budget; no prior run recorded",
+    }), flush=True)
+    return rc_if_missing
+
+
 def supervise() -> int:
+    import signal
+
+    def on_term(signum, frame):
+        log(f"[bench] signal {signum} — emitting fallback line before exit")
+        sys.exit(_emit_fallback_and_exit())
+
+    signal.signal(signal.SIGTERM, on_term)
+
     budget_s = float(os.environ.get("GCD_BENCH_BUDGET_S", 2700))
     inner_timeout_s = float(os.environ.get("GCD_BENCH_INNER_TIMEOUT_S", 1200))
     deadline = time.time() + budget_s
@@ -326,23 +357,7 @@ def supervise() -> int:
             log("[bench] probe failed — sleeping 60s")
             time.sleep(60)
     # Budget exhausted without a successful run.
-    if os.path.exists(_LAST_GOOD):
-        with open(_LAST_GOOD) as f:
-            d = json.load(f)
-        d["stale"] = True
-        d["note"] = ("no successful run within the bench budget (TPU wedged "
-                     "or slow); value is the most recent successful run of "
-                     "this same benchmark")
-        print(json.dumps(d))
-        return 0
-    print(json.dumps({
-        "metric": "frames/sec/chip, 14f 384x256 25-step EulerEDM + VAE decode",
-        "value": 0.0,
-        "unit": "frames/sec/chip",
-        "vs_baseline": 0.0,
-        "error": "TPU unavailable for the entire bench budget; no prior run recorded",
-    }))
-    return 1
+    return _emit_fallback_and_exit()
 
 
 if __name__ == "__main__":

@@ -123,6 +123,43 @@ def test_deterministic_failure_is_not_laundered_as_stale(monkeypatch, tmp_path,
     assert "deterministic" in final["error"]
 
 
+def test_sigterm_emits_fallback_line(tmp_path):
+    """A parent killing the supervisor mid-wedge must still get a parseable
+    driver line (the stale fallback), not silence."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+
+    last = tmp_path / "last_good.json"
+    last.write_text(json.dumps(GOOD))
+    code = textwrap.dedent(f"""
+        import bench, time
+        bench._LAST_GOOD = {str(last)!r}
+        bench._probe_once = lambda i, timeout_s=150.0: False
+        bench.subprocess.run = lambda *a, **kw: (_ for _ in ()).throw(
+            bench.subprocess.TimeoutExpired(cmd='x', timeout=1))
+        import sys
+        sys.exit(bench.supervise())
+    """)
+    env = dict(os.environ, GCD_BENCH_BUDGET_S="600",
+               JAX_PLATFORMS="cpu",  # bench imports jax at module level
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # never touch the TPU tunnel here
+    p = subprocess.Popen([sys.executable, "-c", code], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                         text=True)
+    _time.sleep(8.0)  # jax import + supervise() handler install + probe loop
+    p.send_signal(signal.SIGTERM)
+    out, _ = p.communicate(timeout=30)
+    final = json.loads(out.strip().splitlines()[-1])
+    assert final["value"] == 5.0 and final["stale"] is True
+    assert p.returncode == 0
+
+
 def test_batched_run_never_updates_fallback(monkeypatch, tmp_path, capsys):
     """GCD_BENCH_BATCH>1 results must not poison the single-clip record."""
     monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "last_good.json"))
