@@ -146,9 +146,11 @@ def build_sampler_fn(batch: int = 1):
                 [x.astype(jnp.bfloat16), cond["concat"].astype(jnp.bfloat16)],
                 axis=-1,
             )
+            # slice the indicator to the incoming batch: the guidance-interval
+            # plain branch runs at half the CFG batch
             return model.apply(
                 uparams, xin, c_noise, cond["crossattn"], cond["vector"],
-                num_video_frames=T, image_only_indicator=ioi2,
+                num_video_frames=T, image_only_indicator=ioi2[:x.shape[0] // T],
             ).astype(jnp.float32)
 
         def denoise_fn(x, sigma, cond):

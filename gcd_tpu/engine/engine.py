@@ -393,10 +393,14 @@ class DiffusionEngine:
         model_params = self.effective_model_params(params)
 
         def denoiser_fn(x, sigma, cond):
+            # Size the per-video indicator to the incoming batch: the guider
+            # doubles it (uc|c), but the guidance-interval plain branch runs
+            # the bare conditional batch (sampling.py BaseDiffusionSampler).
+            n_vid = x.shape[0] // t
             return self.denoiser(
                 lambda xx, cn, cc, **kw: self.network_fn(
                     model_params, xx, cn, cc, num_video_frames=t,
-                    image_only_indicator=ioi2,
+                    image_only_indicator=ioi2[:n_vid],
                 ),
                 x, sigma, cond,
             )

@@ -94,6 +94,37 @@ def test_sample_video_shapes(engine, engine_params):
     assert np.isfinite(v).all() and v.min() >= 0.0 and v.max() <= 1.0
 
 
+def test_sample_video_guidance_interval(engine, engine_params):
+    """sample_video with a guidance-interval sampler: the plain (half-batch)
+    branch must get a correctly-sized image_only_indicator, and a
+    full-coverage interval must reproduce exact CFG output."""
+    params, batch = engine_params
+    key = jax.random.PRNGKey(2)
+
+    exact = jax.jit(
+        lambda p, k: engine.sample_video(p, batch, k, decoding_t=3)
+    )(params, key)
+
+    old = engine.sampler.guidance_interval
+    try:
+        engine.sampler.guidance_interval = (0.0, 1e9)  # always guided
+        always = jax.jit(
+            lambda p, k: engine.sample_video(p, batch, k, decoding_t=3)
+        )(params, key)
+        engine.sampler.guidance_interval = (-2.0, -1.0)  # never guided
+        never = jax.jit(
+            lambda p, k: engine.sample_video(p, batch, k, decoding_t=3)
+        )(params, key)
+    finally:
+        engine.sampler.guidance_interval = old
+
+    np.testing.assert_allclose(np.asarray(always["sampled_video"]),
+                               np.asarray(exact["sampled_video"]),
+                               rtol=1e-5, atol=1e-5)
+    v = np.asarray(never["sampled_video"])
+    assert np.isfinite(v).all() and v.shape == (B * T, H, W, 3)
+
+
 def test_encode_decode_roundtrip_scale(engine, engine_params):
     params, _ = engine_params
     key = jax.random.PRNGKey(3)
