@@ -509,19 +509,27 @@ def update_os_cpu_affinity(rank: int, num_workers: int) -> None:
 
 
 def make_sampler(bundle: ModelBundle, mesh_data: int = 1, mesh_fsdp: int = 1,
-                 decoding_t: int = 14, return_latents: bool = False):
-    """sample(batch, key) -> dict. mesh_data*mesh_fsdp > 1 shards ONE clip's
-    sampling across the chips of a ("data","fsdp") mesh
-    (gcd_tpu/engine/serving.py); otherwise plain single-device sampling."""
+                 decoding_t: int = 14, return_latents: bool = False,
+                 mesh_tensor: int = 1):
+    """sample(batch, key) -> dict. A multi-chip mesh shards ONE clip's
+    sampling across chips (gcd_tpu/engine/serving.py): batch-axis sharding
+    over ("data","fsdp"), plus Megatron tensor-parallel param shardings when
+    mesh_tensor > 1 (useful when B*T doesn't divide the mesh); otherwise
+    plain single-device sampling."""
     import jax
 
     engine = bundle.engine
-    if mesh_data * mesh_fsdp > 1:
-        from gcd_tpu.parallel.mesh import create_mesh
+    if mesh_data * mesh_fsdp * mesh_tensor > 1:
+        from gcd_tpu.parallel.mesh import create_mesh, make_param_shardings
         from gcd_tpu.engine.serving import make_sharded_sampler
 
-        mesh = create_mesh(data=mesh_data, fsdp=mesh_fsdp)
-        sharded = make_sharded_sampler(engine, mesh, decoding_t=decoding_t)
+        mesh = create_mesh(data=mesh_data, fsdp=mesh_fsdp, tensor=mesh_tensor)
+        # Params stay replicated for pure batch-sharded serving (a bf16 UNet
+        # fits one chip); TP serving needs the Megatron param placements.
+        param_shardings = (make_param_shardings(bundle.params, mesh)
+                           if mesh_tensor > 1 else None)
+        sharded = make_sharded_sampler(engine, mesh, decoding_t=decoding_t,
+                                       param_shardings=param_shardings)
 
         def sample(batch, key):
             return sharded(bundle.params, batch, key)

@@ -66,6 +66,8 @@ def get_parser():
                    help="shard each clip's sampling over a data mesh axis "
                         "(multi-chip serving; mesh_data*mesh_fsdp chips)")
     p.add_argument("--mesh_fsdp", type=int, default=1)
+    p.add_argument("--mesh_tensor", type=int, default=1,
+                   help="Megatron tensor-parallel axis for serving (parallel/mesh.py)")
     p.add_argument("--cpu_devices", type=int, default=0,
                    help="force N virtual CPU devices (for mesh testing "
                         "without TPU chips; goes through jax.config)")
@@ -90,7 +92,8 @@ def process_example(bundle, args, input_fp: str, out_dp: str, key):
              for k, v in batch_np.items()}
 
     sampler = eval_utils.make_sampler(bundle, args.mesh_data, args.mesh_fsdp,
-                                      decoding_t=args.decoding_t)
+                                      decoding_t=args.decoding_t,
+                                      mesh_tensor=args.mesh_tensor)
     samples = []
     for s in range(args.num_samples):
         t0 = time.time()

@@ -69,6 +69,8 @@ def get_parser():
                    help="shard each clip's sampling over a data mesh axis "
                         "(multi-chip serving; mesh_data*mesh_fsdp chips)")
     p.add_argument("--mesh_fsdp", type=int, default=1)
+    p.add_argument("--mesh_tensor", type=int, default=1,
+                   help="Megatron tensor-parallel axis for serving (parallel/mesh.py)")
     p.add_argument("--cpu_devices", type=int, default=0,
                    help="force N virtual CPU devices (for mesh testing "
                         "without TPU chips; goes through jax.config)")
@@ -290,8 +292,9 @@ def main(argv=None):
     samplers = [
         eval_utils.make_sampler(b, args.mesh_data, args.mesh_fsdp,
                                 decoding_t=args.decoding_t,
+                                mesh_tensor=args.mesh_tensor,
                                 return_latents=args.mesh_data
-                                * args.mesh_fsdp <= 1)
+                                * args.mesh_fsdp * args.mesh_tensor <= 1)
         for b in bundles
     ]
     enabled = (("rich1", "rich2", "rich3", "rich4", "rich5", "rich6", "rich7")
