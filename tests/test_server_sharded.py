@@ -34,6 +34,30 @@ def setup():
     return engine, params, sample_fn
 
 
+def test_make_sampler_tensor_parallel_wiring(setup):
+    """eval_utils.make_sampler(mesh_tensor>1) must build the 3-axis mesh with
+    Megatron param shardings and produce finite output for one clip whose
+    B*T doesn't divide the mesh (batch sharding alone would replicate)."""
+    from scripts import eval_utils
+
+    engine, params, _ = setup
+
+    class Bundle:
+        pass
+
+    b = Bundle()
+    b.engine, b.params = engine, params
+    sample = eval_utils.make_sampler(b, mesh_data=1, mesh_fsdp=2,
+                                     mesh_tensor=4, decoding_t=T)
+    clip = engine.example_batch((H, W), T, 1)  # B*T = 2, mesh = 8 devices
+    clip["cond_frames_without_noise"] = jax.random.normal(
+        jax.random.PRNGKey(7), (T, H, W, 3)) * 0.2
+    clip["cond_frames"] = clip["cond_frames_without_noise"] + 0.01
+    out = sample(clip, jax.random.PRNGKey(0))
+    v = np.asarray(out["sampled_video"])
+    assert v.shape == (T, H, W, 3) and np.isfinite(v).all()
+
+
 def test_server_over_mesh_matches_direct(setup):
     engine, params, sample_fn = setup
     srv = SamplerServer(sample_fn, T, max_batch=MAX_BATCH,
