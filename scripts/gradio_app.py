@@ -43,6 +43,8 @@ def get_parser():
     p.add_argument("--elevation", type=float, default=15.0)
     p.add_argument("--radius", type=float, default=0.0)
     p.add_argument("--num_samples", type=int, default=1)
+    p.add_argument("--guidance_interval", type=str, default="",
+                   help="lo,hi sigma band: CFG only inside it (opt-in speed mode)")
     return p
 
 
@@ -190,6 +192,8 @@ def main(argv=None):
     bundle = eval_utils.load_model_bundle(
         args.config_path, args.model_path,
         num_steps=args.num_steps, num_frames=args.num_frames,
+        guidance_interval=(tuple(map(float, args.guidance_interval.split(",")))
+                           if args.guidance_interval else None),
         img_hw=(args.frame_height, args.frame_width), verbose=True)
 
     if args.once:
