@@ -291,9 +291,13 @@ class DiffusionEngine:
                            key: Optional[jax.Array] = None) -> Array:
         """(diffusion.py:253-266); posterior *sampled* during training."""
         key = default(key, jax.random.PRNGKey(0))
+        calls = [0]  # fold the chunk index in: same-shape chunks with the
+        # same key would draw byte-identical posterior noise per chunk
 
         def enc(chunk):
-            return self.first_stage_model.encode(params["first_stage"], chunk, key=key)
+            k = jax.random.fold_in(key, calls[0])
+            calls[0] += 1
+            return self.first_stage_model.encode(params["first_stage"], chunk, key=k)
 
         z = self._chunked(enc, x, self.en_and_decode_n_samples_a_time)
         return z * self.scale_factor

@@ -165,11 +165,18 @@ class SamplerServer:
 def make_engine_sample_fn(engine, params, max_batch: int, num_frames: int,
                           num_steps: Optional[int] = None,
                           decoding_t: Optional[int] = None):
-    """Jitted in-process sample_fn(batch, key) at the server's fixed shape."""
+    """Jitted in-process sample_fn(batch, key) at the server's fixed shape.
+
+    params are threaded as a runtime argument (functools.partial over a
+    jitted 3-arg fn), NOT closed over: closure would bake the multi-GB tree
+    into the jaxpr as trace-time constants — slow compiles, possible
+    weight duplication inside the executable, and silent staleness if the
+    caller later swaps checkpoints."""
+    import functools
 
     @jax.jit
-    def fn(batch: Dict, key):
-        return engine.sample_video(params, batch, key, num_steps=num_steps,
+    def fn(p, batch: Dict, key):
+        return engine.sample_video(p, batch, key, num_steps=num_steps,
                                    decoding_t=decoding_t)
 
-    return fn
+    return functools.partial(fn, params)

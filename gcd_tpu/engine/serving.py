@@ -43,8 +43,9 @@ def make_sharded_sampler(engine, mesh, num_steps: Optional[int] = None,
                                    decoding_t=decoding_t)
 
     def sample(params, batch: Dict, key):
-        batch = {k: v for k, v in batch.items() if hasattr(v, "shape")
-                 or not isinstance(v, (str, list, dict))}
+        # Only array leaves enter the jitted program; scalar entries like
+        # num_video_frames are dropped (sample_video derives the frame count
+        # from image_only_indicator's static shape).
         batch_sh, _ = shard_batch(
             {k: v for k, v in batch.items() if hasattr(v, "shape")}, mesh)
         params_sh = jax.device_put(

@@ -171,7 +171,12 @@ def make_jitted_train_step(engine: DiffusionEngine, opt, mesh=None,
                            donate: bool = True):
     """Jit the step with output shardings pinned to the *input* state's
     shardings — otherwise step 0 returns jit-chosen shardings and step 1
-    recompiles the whole program against the new layout."""
+    recompiles the whole program against the new layout.
+
+    `mesh` is accepted for call-site symmetry but intentionally unused:
+    placement comes entirely from the input state/batch shardings (GSPMD
+    propagates them); pinning the step to a mesh would only mask
+    mismatched placements instead of surfacing them."""
     step_fn = functools.partial(train_step, engine, opt)
     donate_args = (0,) if donate else ()
     cache = {}

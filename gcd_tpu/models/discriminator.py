@@ -235,7 +235,11 @@ class GeneralLPIPSWithDiscriminator:
                     "perceptual_weight=0)"
                 )
             p = self._perceptual(lpips_params, inputs, reconstructions)
-            rec_loss = rec_loss + self.perceptual_weight * p
+            # LPIPS returns (N,); the reference keeps p_loss as (N,1,1,1) so
+            # it broadcasts against the (N,H,W,C) pixel loss
+            # (discriminator_loss.py rec_loss + self.perceptual_weight*p_loss).
+            rec_loss = rec_loss + self.perceptual_weight * p.reshape(
+                (-1,) + (1,) * (rec_loss.ndim - 1))
 
         # Reference gating (discriminator_loss.py:242,280): the GAN terms are
         # active once global_step >= disc_start OR whenever not training.

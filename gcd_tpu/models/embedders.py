@@ -60,6 +60,19 @@ class FrozenOpenCLIPImageEmbedder(nn.Module):
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
+        # Fail loudly on config features this tower does not implement —
+        # silently ignoring output_tokens would route a pooled (N,1024)
+        # vector where the reference conditions crossattn on a token grid
+        # (modules.py:718-724), and a per-embedder ucg_rate/unsqueeze/repeat
+        # would be swallowed without any dropout/reshape applied. All GCD/SVD
+        # configs use the defaults.
+        assert not self.output_tokens, "output_tokens=True not implemented"
+        assert not self.unsqueeze_dim, "unsqueeze_dim=True not implemented"
+        assert not self.repeat_to_max_len, "repeat_to_max_len not implemented"
+        assert self.num_image_crops == 0, "num_image_crops not implemented"
+        assert self.ucg_rate == 0.0, (
+            "per-embedder ucg_rate not implemented here; use the "
+            "GeneralConditioner-level ucg_rate (embedders.py routing)")
         x = clip_preprocess(image, image_size=self.clip_image_size)
         return CLIPVisionTower(
             width=self.clip_width,

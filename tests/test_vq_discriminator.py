@@ -182,6 +182,28 @@ def test_general_lpips_with_discriminator_phases():
     assert float(dl_eval) > 0.0
 
 
+def test_perceptual_term_broadcasts_per_sample():
+    """LPIPS returns (N,); the loss must lift it to (N,1,1,1) before adding
+    to the (N,H,W,C) pixel loss (reference keeps p_loss (N,1,1,1)) — and the
+    degenerate N==C case must not silently broadcast over channels."""
+    from gcd_tpu.models.lpips import LPIPS
+
+    lp = LPIPS()
+    lpips_vars = lp.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3)))
+    loss_mod = GeneralLPIPSWithDiscriminator(
+        disc_start=0, disc_num_layers=2, perceptual_weight=1.0,
+        regularization_weights={})
+    variables = loss_mod.init(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    # N == C == 3: a flat (N,) add would mis-broadcast instead of crashing
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 32, 3))
+    rec = x + 0.1
+    gl, glog = loss_mod(variables, x, rec, optimizer_idx=0, global_step=10,
+                        lpips_params=lpips_vars)
+    assert np.isfinite(float(gl))
+    assert float(glog["train/loss/rec"]) > 0.0
+
+
 def test_discriminator_training_threads_batch_stats():
     """Train-mode passes must return updated BatchNorm running stats
     (ADVICE.md round-1 medium finding) and run both passes in train mode."""
