@@ -20,6 +20,13 @@ dim grows from 9*Cin per tap-row to a denser 2x2 kernel.
 The folding is an exact rearrangement of the same multiply-adds (weight
 sums done in fp32); parity with the naive path is tested to fp32 tolerance
 in tests/test_subpixel.py. Gated by the `subpix_upsample` dispatch flag.
+
+TPU-measured (round 2, v5e, 14f 384x256 25-step bench): NEUTRAL end-to-end —
+clip 2740 ms on vs 2737 ms off; decode-only 263.1 ms on vs 264.0 ms off.
+The 2.25x MAC reduction buys nothing because these convs are dominated by
+the GroupNorm-stat epilogue fusions' HBM traffic, not MXU time (see
+INVENTORY.md "Known headroom"). Default stays OFF: identical math, but the
+unfused path keeps the simplest HLO and the measured times are equal.
 """
 
 from __future__ import annotations
