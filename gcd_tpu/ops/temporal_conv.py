@@ -13,20 +13,45 @@ A (kt,1,1) conv is exactly an im2col over T: concatenate the kt T-shifted
 (kt*C, Co) reshaped kernel — contraction dim kt*C keeps the MXU busy, and
 XLA fuses the shift/concat into the matmul's LHS read.
 
+The im2col form is only profitable at small spatial dims, though. At the
+UNet's latent resolutions (<= 48x32 tokens/frame) the concat stays
+tile-resident and the single big-contraction matmul wins (5.04 -> 5.12 f/s
+e2e). At the VAE decoder's resolutions XLA *materializes* the (B*T,H,W,kt*C)
+concat in HBM and then relayout-copies it — >1 GB of pure traffic per conv at
+256x384x128 (v5e xprof: 3.6 ms loop-fusion build + 3.4 ms copy + 2 ms matmul
+per conv, ~46% of the whole decode leg) — while the XLA 3D conv handles the
+same shapes in a fraction of that (decode 264 -> 154 ms measured). Hence the
+shape-aware dispatch in `_im2col_profitable`: matmul form below
+`GCD_TCONV_MAX_ELEMS` (default 600k) h*w*c elements/frame, lax 3D conv above.
+
 `TemporalConvK11` is a drop-in for `nn.Conv(features, (kt,1,1), SAME)`:
 identical param tree (kernel (kt,1,1,C,Co), bias (Co,)), identical init,
 identical math — checkpoints and converters are oblivious. Dispatch between
-the matmul path and nn.Conv is the `tconv_matmul` kernel flag.
+the matmul path and nn.Conv is the `tconv_matmul` kernel flag plus the
+spatial-size heuristic.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+
+def _im2col_profitable(h: int, w: int, c: int) -> bool:
+    """im2col matmul form only below a per-frame working-set threshold
+    (h*w*c elements — the size of the tensor the concat triples). v5e
+    measurements: every UNet time_stack shape (320ch@48x32=491k,
+    640ch@24x16=245k, 1280ch@12x8=123k) wins as a matmul, while every VAE
+    decoder shape loses — including the 512ch@48x32=786k mid blocks
+    (decode-leg medians 158.5 ms with them as matmuls vs 155.7 ms as convs).
+    GCD_TCONV_MAX_ELEMS overrides the threshold for A/B sweeps (0 disables
+    im2col everywhere)."""
+    return h * w * c <= int(os.environ.get("GCD_TCONV_MAX_ELEMS", "600000"))
 
 
 def _tshift(x: jnp.ndarray, off: int) -> jnp.ndarray:
@@ -78,7 +103,8 @@ class TemporalConvK11(nn.Module):
 
         from gcd_tpu.ops.dispatch import kernel_enabled
 
-        if not kernel_enabled("tconv_matmul"):
+        if not (kernel_enabled("tconv_matmul")
+                and _im2col_profitable(x.shape[2], x.shape[3], c)):
             import jax.lax as lax
 
             pad = ((self.kt // 2, (self.kt - 1) // 2), (0, 0), (0, 0))
