@@ -7,11 +7,29 @@ Behavioral reference: gcd-model/sgm/data/common.py. NHWC numpy throughout
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import List, Optional, Tuple
 
 import cv2
 import numpy as np
+
+logger = logging.getLogger("gcd_tpu.data")
+
+
+def log_retry(dataset: str, idx, retry_idx: int, max_retries: int,
+              exc: BaseException) -> None:
+    """Rate-limited warning for dataset retry loops.
+
+    The reference prints every dataset failure (kubric_arbit.py:124-222);
+    silent retries make a misconfigured `pcl_root` look like a hang. Logs the
+    first few retries per worker verbatim, then every 10th.
+    """
+    if retry_idx < 3 or (retry_idx + 1) % 10 == 0:
+        logger.warning(
+            "%s: __getitem__(idx=%s) failed (retry %d/%d): %s: %s",
+            dataset, idx, retry_idx + 1, max_retries,
+            type(exc).__name__, exc)
 
 
 # ---------------------------------------------------------------------------

@@ -409,6 +409,8 @@ class KubricSynthViewDataset:
                     extrinsics_src, extrinsics_dst, motion_amount)
                 break
             except Exception as e:
+                common.log_retry("KubricSynthViewDataset", idx, retry_idx,
+                                 self.max_retries, e)
                 if retry_idx >= self.max_retries - 2:
                     raise
                 time.sleep(min(0.2 + retry_idx * 0.02, 1.0))

@@ -486,7 +486,9 @@ class ParallelDomainSynthViewDataset:
                     src_view_idx, dst_view_idx, extrinsics_src,
                     extrinsics_dst, motion_amount)
                 break
-            except Exception:
+            except Exception as e:
+                common.log_retry("ParallelDomainSynthViewDataset", idx,
+                                 retry_idx, self.max_retries, e)
                 if retry_idx >= self.max_retries - 2:
                     raise
                 time.sleep(min(0.2 + retry_idx * 0.02, 1.0))

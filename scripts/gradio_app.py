@@ -35,7 +35,9 @@ def get_parser():
     p.add_argument("--frame_width", type=int, default=384)
     p.add_argument("--frame_height", type=int, default=256)
     p.add_argument("--examples_dir", type=str,
-                   default="/root/reference/eval/gradio_examples")
+                   default=os.path.join(
+                       os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "eval", "gradio_examples"))
     # CLI fallback (no gradio):
     p.add_argument("--once", type=str, default="",
                    help="run one inference on this input file and exit")
