@@ -206,10 +206,7 @@ class DiffusionEngine:
                 sd = dict(sd)
                 sd.update(ema_sd)
 
-        def clip_rename(key: str) -> str:
-            key = key.replace("open_clip.visual.", "open_clip.model.visual.")
-            key = key.replace(".visual.resblocks.", ".visual.transformer.resblocks.")
-            return key
+        from gcd_tpu.io.convert import gcd_clip_rename as clip_rename
 
         out = dict(params_template)
         all_missing, all_used = [], []

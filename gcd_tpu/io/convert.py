@@ -230,6 +230,17 @@ def convert_state_dict_to_params(
     return params, missing, used
 
 
+def gcd_clip_rename(key: str) -> str:
+    """Derived-key fixups for the GCD/SVD checkpoints' OpenCLIP image tower
+    (conditioner.embedders.0.open_clip.model.visual.*): the reference wraps the
+    tower in `.model.` (open_clip CLIP object) and nests resblocks under
+    `transformer.` (modules.py:653-715), neither of which exists as a flax
+    module level here."""
+    key = key.replace("open_clip.visual.", "open_clip.model.visual.")
+    key = key.replace(".visual.resblocks.", ".visual.transformer.resblocks.")
+    return key
+
+
 def extract_ema_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Recover EMA weights stored by LitEma (sgm/modules/ema.py): shadow
     buffers live under `model_ema.` with dots stripped from the original
