@@ -24,6 +24,10 @@ Flag -> env var -> meaning:
                                   (numerics A/B switch, not a kernel toggle)
   tconv_matmul  GCD_TCONV_MATMUL  (kt,1,1) temporal convs as im2col matmuls
                                   (ops/temporal_conv.py)
+  tconv_split   GCD_TCONV_SPLIT   big-shape temporal convs as one channel-
+                                  concatenated matmul + shifted-add epilogue
+                                  instead of the lax 3D conv
+                                  (ops/temporal_conv.py temporal_conv_k11_split)
   gn_stats_pallas GCD_GN_STATS    GroupNorm statistics via an opaque Pallas
                                   kernel, keeping conv epilogues clean
                                   (ops/fused_norm.py group_stats_pallas;
@@ -52,6 +56,7 @@ _DEFAULTS = {
     "fused_gn_conv": False,
     "exact_gelu": False,
     "tconv_matmul": True,
+    "tconv_split": False,
     "gn_stats_pallas": False,
     "sconv_matmul": False,
     "subpix_upsample": False,
@@ -66,6 +71,7 @@ _ENV = {
     "fused_gn_conv": "GCD_FUSED_GNCONV",
     "exact_gelu": "GCD_EXACT_GELU",
     "tconv_matmul": "GCD_TCONV_MATMUL",
+    "tconv_split": "GCD_TCONV_SPLIT",
     "gn_stats_pallas": "GCD_GN_STATS",
     "sconv_matmul": "GCD_SCONV_MATMUL",
     "subpix_upsample": "GCD_SUBPIX_UP",

@@ -84,6 +84,35 @@ def temporal_conv_k11(x: jnp.ndarray, kernel: jnp.ndarray,
     return out.reshape(b, t, h, w, co)
 
 
+def temporal_conv_k11_split(x: jnp.ndarray, kernel: jnp.ndarray,
+                            bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Output-split formulation for the big (decoder-resolution) shapes.
+
+    By linearity, out[t] = sum_i (x @ w_i)[t + i - kt//2]: run ONE matmul
+    against the channel-concatenated weights (C, kt*Co) — K=C and N=kt*Co
+    both lane-aligned at the decoder's 128..512 channels — then combine the
+    kt per-tap outputs with T-shifted adds, which XLA fuses into a single
+    elementwise pass. Unlike the im2col form nothing 3x-sized is
+    materialized on the INPUT side, and unlike the lax 3D conv there is no
+    (T,H,8,48,C) spatial-split relayout: the v5e xprof of the decode leg
+    showed 2.3 ms of pure data-formatting copies around each 3D conv at
+    256x384x128 plus the conv itself at ~63 TF/s."""
+    kt, k1, k2, c, co = kernel.shape
+    assert k1 == 1 and k2 == 1, kernel.shape
+    b, t, h, w, _ = x.shape
+    center = kt // 2
+    # (kt,1,1,C,Co) -> (C, kt*Co); tap i occupies columns [i*co:(i+1)*co).
+    wcat = jnp.moveaxis(kernel.reshape(kt, c, co), 0, 1).reshape(c, kt * co)
+    y = (x.reshape(-1, c) @ wcat).reshape(b, t, h, w, kt, co)
+    out = y[:, :, :, :, center, :]
+    for i in range(kt):
+        if i != center:
+            out = out + _tshift(y[:, :, :, :, i, :], i - center)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 class TemporalConvK11(nn.Module):
     """nn.Conv(features, (kt,1,1), SAME)-compatible module that runs the
     matmul formulation when the `tconv_matmul` dispatch flag is on."""
@@ -105,6 +134,10 @@ class TemporalConvK11(nn.Module):
 
         if not (kernel_enabled("tconv_matmul")
                 and _im2col_profitable(x.shape[2], x.shape[3], c)):
+            if kernel_enabled("tconv_split"):
+                return temporal_conv_k11_split(
+                    x.astype(self.dtype), kernel.astype(self.dtype),
+                    bias.astype(self.dtype))
             import jax.lax as lax
 
             pad = ((self.kt // 2, (self.kt - 1) // 2), (0, 0), (0, 0))

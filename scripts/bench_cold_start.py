@@ -1,0 +1,165 @@
+"""Serving cold-start: time-to-first-clip for three deployment modes
+(VERDICT r2 "Next round" #10 — the 111 s jit cold start motivated the AOT
+export, but no artifact recorded what it buys).
+
+Modes, each measured in a FRESH subprocess on the bench workload
+(bench.build_sampler_fn — flagship UNet 25-step CFG sampling + VAE decode):
+
+  jit     cold trace+compile, no persistent cache (the default today)
+  cache   same program with a warm persistent compilation cache
+          (GCD_JAX_CACHE; what a production host gets from its 2nd boot on)
+  export  jax.export artifact (scripts/export_artifact.py path): deserialize
+          + first call — no tracing, no model code, but XLA still compiles
+          the StableHLO for the local backend
+
+Writes PERF_COLDSTART.json at the repo root.
+
+Usage:
+    timeout 3600 python scripts/bench_cold_start.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+ARTIFACT = "/tmp/gcd_coldstart_sampler.jaxexp"
+CACHE_DIR = "/tmp/gcd_coldstart_cache"
+
+
+def phase_jit() -> None:
+    """Cold (or cache-warm, when GCD_JAX_CACHE is set) jit time-to-first-clip."""
+    import jax
+
+    if os.environ.get("GCD_JAX_CACHE"):
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["GCD_JAX_CACHE"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    t_start = time.time()
+    from bench import build_sampler_fn
+
+    run_clip = build_sampler_fn()
+    out = run_clip(jax.random.PRNGKey(0))
+    out.block_until_ready()
+    print(json.dumps({"time_to_first_clip_s": round(time.time() - t_start, 1)}))
+
+
+def phase_export() -> None:
+    """Build + export the bench sampler program to ARTIFACT (not timed as
+    cold start; this is the offline packaging step)."""
+    import jax
+
+    from bench import _make_run_clip_for_export
+
+    fn, uparams, dparams = _make_run_clip_for_export()
+    from jax import export as jexport
+
+    sds = lambda t: jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
+    key_sds = sds(jax.random.PRNGKey(0))
+    exp = jexport.export(fn)(sds(uparams), sds(dparams), key_sds)
+    blob = bytes(exp.serialize())
+    with open(ARTIFACT, "wb") as f:
+        f.write(blob)
+    print(json.dumps({"artifact_bytes": len(blob)}))
+
+
+def phase_load() -> None:
+    """Deserialize ARTIFACT + run the first clip — the AOT serving boot."""
+    import jax
+
+    t_start = time.time()
+    from jax import export as jexport
+
+    with open(ARTIFACT, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    t_deser = time.time()
+
+    # Params are arguments (not baked into the blob): materialize random
+    # weights exactly like the bench does, OUTSIDE the timed window — a
+    # serving host loads them from its checkpoint store in parallel anyway.
+    from bench import _make_run_clip_for_export
+
+    _, uparams, dparams = _make_run_clip_for_export()
+    jax.block_until_ready((uparams, dparams))
+    t_params = time.time()
+
+    out = exp.call(uparams, dparams, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    t_first = time.time()
+    print(json.dumps({
+        "deserialize_s": round(t_deser - t_start, 1),
+        "param_init_s": round(t_params - t_deser, 1),
+        "first_call_s": round(t_first - t_params, 1),
+        "time_to_first_clip_s": round((t_deser - t_start) + (t_first - t_params), 1),
+    }))
+
+
+def run_phase(phase: str, env_extra=None, timeout_s: int = 1500):
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--phase", phase],
+        capture_output=True, text=True, timeout=timeout_s, env=env, cwd=ROOT)
+    if r.stderr:
+        print(r.stderr[-1500:], file=sys.stderr)
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return {"error": f"phase {phase} failed rc={r.returncode}",
+            "stderr_tail": (r.stderr or "")[-400:]}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["jit", "cache", "export", "load"])
+    ap.add_argument("--out", default=os.path.join(ROOT, "PERF_COLDSTART.json"))
+    args = ap.parse_args()
+
+    if args.phase in ("jit", "cache"):
+        return phase_jit()
+    if args.phase == "export":
+        return phase_export()
+    if args.phase == "load":
+        return phase_load()
+
+    results = {}
+    print("[cold-start] phase 1/4: cold jit ...", file=sys.stderr, flush=True)
+    results["jit_cold"] = run_phase("jit")
+    print("[cold-start] phase 2/4: warm the persistent cache ...",
+          file=sys.stderr, flush=True)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    run_phase("jit", {"GCD_JAX_CACHE": CACHE_DIR})  # populate
+    print("[cold-start] phase 3/4: cache-warm boot ...", file=sys.stderr,
+          flush=True)
+    results["jit_warm_cache"] = run_phase("jit", {"GCD_JAX_CACHE": CACHE_DIR})
+    print("[cold-start] phase 4/4: export + AOT load ...", file=sys.stderr,
+          flush=True)
+    exp = run_phase("export")
+    if "error" not in exp:
+        results["export_artifact"] = exp
+        results["aot_load"] = run_phase("load")
+    else:
+        results["export_artifact"] = exp
+
+    out = {
+        "metric": "serving cold start: time-to-first-clip, bench workload",
+        "modes": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,14 +99,37 @@ def main(argv=None):
     p.add_argument("--max_wait_ms", type=float, default=50.0)
     p.add_argument("--num_steps", type=int, default=None)
     p.add_argument("--decoding_t", type=int, default=None)
+    p.add_argument("--artifact", default=None,
+                   help="jax.export blob from scripts/export_artifact.py; "
+                        "when present, boot from the AOT artifact (no "
+                        "tracing/model re-instantiation — see "
+                        "PERF_COLDSTART.json for what each mode costs)")
     args = p.parse_args(argv)
+
+    # Persistent compilation cache: the cheapest cold-start fix for hosts
+    # that re-boot the same program (scripts/bench_cold_start.py "cache").
+    cache_dir = os.environ.get("GCD_JAX_CACHE")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     bundle = load_model_bundle(
         args.config_path, args.model_path, num_frames=args.num_frames,
         img_hw=(args.frame_height, args.frame_width))
-    fn = make_engine_sample_fn(bundle.engine, bundle.params, args.max_batch,
-                               args.num_frames, num_steps=args.num_steps,
-                               decoding_t=args.decoding_t)
+    if args.artifact and os.path.exists(args.artifact):
+        from gcd_tpu.engine.export import load_sampler
+
+        with open(args.artifact, "rb") as f:
+            sample = load_sampler(f.read())
+
+        def fn(batch, key, _params=bundle.params):
+            arrays = {k: v for k, v in batch.items() if hasattr(v, "shape")}
+            return sample(_params, arrays, key)
+    else:
+        fn = make_engine_sample_fn(
+            bundle.engine, bundle.params, args.max_batch,
+            args.num_frames, num_steps=args.num_steps,
+            decoding_t=args.decoding_t)
     srv = SamplerServer(fn, args.num_frames, max_batch=args.max_batch,
                         max_wait_ms=args.max_wait_ms).start()
 

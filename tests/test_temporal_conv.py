@@ -26,6 +26,41 @@ def test_matmul_path_matches_lax_conv(kt):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("kt", [1, 3, 5])
+def test_split_path_matches_lax_conv(kt):
+    """The big-shape output-split formulation (one channel-concatenated
+    matmul + shifted-add epilogue) is exact vs the lax 3D conv."""
+    from gcd_tpu.ops.temporal_conv import temporal_conv_k11_split
+
+    key = jax.random.PRNGKey(2)
+    b, t, h, w, c, co = 2, 7, 4, 6, 16, 24
+    x = jax.random.normal(key, (b, t, h, w, c))
+    kernel = jax.random.normal(jax.random.PRNGKey(3),
+                               (kt, 1, 1, c, co)) * 0.1
+    bias = jax.random.normal(jax.random.PRNGKey(4), (co,))
+    want = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1, 1),
+        ((kt // 2, (kt - 1) // 2), (0, 0), (0, 0)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + bias
+    got = jax.jit(temporal_conv_k11_split)(x, kernel, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_split_flag_routes_big_shapes():
+    """tconv_split only replaces the lax-conv branch (above the im2col
+    threshold); result must stay identical either way."""
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 64, 96, 128))
+    mod = TemporalConvK11(features=128, kt=3)
+    params = mod.init(jax.random.PRNGKey(6), x)
+    with kernel_flags(tconv_split=True):
+        got = jax.jit(mod.apply)(params, x)
+    with kernel_flags(tconv_split=False):
+        want = jax.jit(mod.apply)(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_boundary_zero_padding():
     """Tap shifts must zero-pad at the clip boundaries, not wrap."""
     b, t, c = 1, 4, 8
