@@ -215,7 +215,14 @@ int gcd_splat_points(const float* xyz, const float* rgb, int64_t n,
         const int u = p.u + o.dx, v = p.v + o.dy;
         if (u < 0 || u >= width || v < 0 || v >= height) continue;
         const int64_t idx = static_cast<int64_t>(v) * width + u;
-        const float w = std::exp(neg - pixmax[idx]) * o.factor;
+        const float d = neg - pixmax[idx];
+        // Occluded-point early-out: the pixel's max contributor has weight
+        // >= 0.02 by construction, so an exp(-30) (~9e-14) term is below
+        // f32 accumulation resolution — skipping it is exact in f32 and
+        // avoids the expf for the (typically large) occluded majority of a
+        // dense merged cloud.
+        if (d < -30.f) continue;
+        const float w = std::exp(d) * o.factor;
         la[idx * 4 + 0] += w;
         la[idx * 4 + 1] += w * r;
         la[idx * 4 + 2] += w * g;

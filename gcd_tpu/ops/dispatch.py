@@ -27,7 +27,10 @@ Flag -> env var -> meaning:
   tconv_split   GCD_TCONV_SPLIT   big-shape temporal convs as one channel-
                                   concatenated matmul + shifted-add epilogue
                                   instead of the lax 3D conv
-                                  (ops/temporal_conv.py temporal_conv_k11_split)
+                                  (ops/temporal_conv.py temporal_conv_k11_split;
+                                  parked: decode leg measured 228 vs 156 ms —
+                                  the kt*Co output materialization costs more
+                                  than the 3D conv's relayout copies it avoids)
   gn_stats_pallas GCD_GN_STATS    GroupNorm statistics via an opaque Pallas
                                   kernel, keeping conv epilogues clean
                                   (ops/fused_norm.py group_stats_pallas;
