@@ -217,10 +217,13 @@ int gcd_splat_points(const float* xyz, const float* rgb, int64_t n,
         const int64_t idx = static_cast<int64_t>(v) * width + u;
         const float d = neg - pixmax[idx];
         // Occluded-point early-out: the pixel's max contributor has weight
-        // >= 0.02 by construction, so an exp(-30) (~9e-14) term is below
-        // f32 accumulation resolution — skipping it is exact in f32 and
-        // avoids the expf for the (typically large) occluded majority of a
-        // dense merged cloud.
+        // >= 0.02 by construction, so one exp(-30) (~9e-14) term is below
+        // f32 accumulation resolution. Not strictly bit-exact, though: the
+        // per-thread partials start at 0, so many thousands of skipped
+        // sub-threshold terms at one pixel can together exceed 0.5 ulp of a
+        // small wsum — observed effect <~1e-8 relative on production-density
+        // clouds. Avoids the expf for the (typically large) occluded
+        // majority of a dense merged cloud.
         if (d < -30.f) continue;
         const float w = std::exp(d) * o.factor;
         la[idx * 4 + 0] += w;

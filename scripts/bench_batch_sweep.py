@@ -39,9 +39,24 @@ def run_one(batch: int, budget_s: int) -> dict:
             d = json.loads(line)
         except (json.JSONDecodeError, ValueError):
             continue
-        if isinstance(d, dict) and "value" in d:
-            d["wall_s"] = round(time.time() - t0, 1)
-            return d
+        if not (isinstance(d, dict) and "value" in d):
+            continue
+        # Provenance gate (ADVICE r3 #1): the supervisor's stale-fallback
+        # line re-emits the LAST GOOD batch-1 record on budget exhaustion;
+        # accepting it here fabricated a batch-N measurement (the round-3
+        # batch=4 "1.06 f/s" row). Only a fresh, error-free result whose
+        # batch matches the requested one counts.
+        measured_batch = int(d.get("clips_per_batch", 1))
+        if d.get("stale") or d.get("error") or measured_batch != batch:
+            return {"clips_per_batch": batch, "value": 0.0,
+                    "error": ("stale-fallback result rejected" if d.get("stale")
+                              else d.get("error")
+                              or f"result was for batch {measured_batch}, "
+                                 f"requested {batch}"),
+                    "rejected_result": d,
+                    "wall_s": round(time.time() - t0, 1)}
+        d["wall_s"] = round(time.time() - t0, 1)
+        return d
     return {"clips_per_batch": batch, "value": 0.0,
             "error": f"no parseable result (rc={r.returncode})",
             "stderr_tail": (r.stderr or "")[-500:]}
@@ -69,7 +84,9 @@ def main() -> None:
         "chip": next((r.get("chip") for r in rows if r.get("chip")), None),
         "rows": [
             {k: r.get(k) for k in ("clips_per_batch", "value",
-                                   "p50_clip_latency_s", "error")
+                                   "p50_clip_latency_s", "error",
+                                   "stale", "note", "wall_s",
+                                   "kernels_check_ok")
              if r.get(k) is not None}
             for r in rows
         ],

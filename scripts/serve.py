@@ -113,10 +113,23 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # --artifact validation (ADVICE r3 #2): a typo'd path must not silently
+    # fall back to the ~435 s cold-jit boot, and the sampling configuration
+    # is BAKED INTO the exported program — num_steps/decoding_t cannot take
+    # effect and silently diverging from the operator's request is worse
+    # than refusing.
+    if args.artifact:
+        if not os.path.exists(args.artifact):
+            p.error(f"--artifact {args.artifact!r} does not exist")
+        if args.num_steps is not None or args.decoding_t is not None:
+            p.error("--num_steps/--decoding_t cannot be combined with "
+                    "--artifact: the exported program bakes them in "
+                    "(re-export with scripts/export_artifact.py instead)")
+
     bundle = load_model_bundle(
         args.config_path, args.model_path, num_frames=args.num_frames,
         img_hw=(args.frame_height, args.frame_width))
-    if args.artifact and os.path.exists(args.artifact):
+    if args.artifact:
         from gcd_tpu.engine.export import load_sampler
 
         with open(args.artifact, "rb") as f:
