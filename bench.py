@@ -289,11 +289,14 @@ def _make_run_clip_for_export(batch: int = 1):
     return part.func, part.args[0], part.args[1]
 
 
-def run_train_inner():
-    """GCD_BENCH_TRAIN=1: time the full flagship training step on this chip —
-    frozen-VAE encode of target + cond frames, denoiser v-loss fwd+bwd through
-    the remat'd 1.5B-param UNet at bt=14, Adam update. (VERDICT r2 Missing #4:
-    README's 380 ms/step had no recorded artifact.)
+def build_train_step():
+    """(step, uparams, opt_state) for the flagship training step — frozen-VAE
+    encode of target + cond frames, denoiser v-loss fwd+bwd through the
+    remat'd 1.5B-param UNet at bt=14, Adam update. step(uparams, opt_state,
+    frames, cond_frames, key) -> (uparams, opt_state, loss), jitted with
+    donated carry and the production trainer's kernel flags
+    (engine/trainer.py). Shared by run_train_inner (synthetic input) and
+    scripts/bench_train_e2e.py (live PrefetchLoader input).
 
     Single-chip memory note: f32 master-weight Adam on 1.5B params needs
     ~18 GB (that is the multi-chip FSDP configuration, parallel/mesh.py);
@@ -383,30 +386,43 @@ def run_train_inner():
         uparams = optax.apply_updates(uparams, updates)
         return uparams, opt_state, loss
 
-    # Match the production trainer's trace configuration (the temporal-attn
-    # Pallas kernel inside grad programs crashes the remote TPU compiler;
-    # engine/trainer.py make_jitted_train_step).
-    with kernel_flags(tattn_pallas=False):
-        jstep = jax.jit(step, donate_argnums=(0, 1))
-        frames = jax.random.normal(jax.random.PRNGKey(3), (bt, H, W, 3),
-                                   jnp.bfloat16) * 0.5
-        cond_frames = jax.random.normal(jax.random.PRNGKey(4), (bt, H, W, 3),
-                                        jnp.bfloat16) * 0.5
-        key = jax.random.PRNGKey(0)
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+
+    def flagged_step(uparams, opt_state, frames, cond_frames, key):
+        # Match the production trainer's trace configuration (the temporal-
+        # attn Pallas kernel inside grad programs crashes the remote TPU
+        # compiler; engine/trainer.py make_jitted_train_step).
+        with kernel_flags(tattn_pallas=False):
+            return jstep(uparams, opt_state, frames, cond_frames, key)
+
+    return flagged_step, uparams, opt_state
+
+
+def run_train_inner():
+    """GCD_BENCH_TRAIN=1: time the full flagship training step on this chip
+    with synthetic (zero-stall) input. (VERDICT r2 Missing #4: README's
+    380 ms/step had no recorded artifact.)"""
+    bt = T
+    jstep, uparams, opt_state = build_train_step()
+    frames = jax.random.normal(jax.random.PRNGKey(3), (bt, H, W, 3),
+                               jnp.bfloat16) * 0.5
+    cond_frames = jax.random.normal(jax.random.PRNGKey(4), (bt, H, W, 3),
+                                    jnp.bfloat16) * 0.5
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    uparams, opt_state, loss = jstep(uparams, opt_state, frames,
+                                     cond_frames, key)
+    jax.block_until_ready(loss)
+    log(f"train compile+first step: {time.time()-t0:.1f}s, loss {float(loss):.4f}")
+
+    times = []
+    for i in range(5):
+        k = jax.random.fold_in(key, i)
         t0 = time.time()
         uparams, opt_state, loss = jstep(uparams, opt_state, frames,
-                                         cond_frames, key)
+                                         cond_frames, k)
         jax.block_until_ready(loss)
-        log(f"train compile+first step: {time.time()-t0:.1f}s, loss {float(loss):.4f}")
-
-        times = []
-        for i in range(5):
-            k = jax.random.fold_in(key, i)
-            t0 = time.time()
-            uparams, opt_state, loss = jstep(uparams, opt_state, frames,
-                                             cond_frames, k)
-            jax.block_until_ready(loss)
-            times.append(time.time() - t0)
+        times.append(time.time() - t0)
 
     ms = min(times) * 1e3
     p50 = sorted(times)[len(times) // 2] * 1e3

@@ -51,6 +51,7 @@ class PrefetchLoader:
         seed: int = 0,
         collate: Callable = collate_fn,
         drop_last: bool = True,
+        process_shard: Optional[tuple] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -60,6 +61,20 @@ class PrefetchLoader:
         self.seed = seed
         self.collate = collate
         self.drop_last = drop_last
+        # (process_id, num_processes): multi-host data feeding. batch_size
+        # stays the GLOBAL batch; every process computes the identical global
+        # shuffle (seed/epoch RNG is process-independent) and loads/renders
+        # only its contiguous row slice of each batch — the slice that
+        # jax.make_array_from_process_local_data expects under the
+        # process-major device order of parallel/mesh.create_mesh
+        # (parallel/distributed.py module docstring).
+        self.process_shard = process_shard
+        if process_shard is not None:
+            pid, nproc = process_shard
+            assert 0 <= pid < nproc, process_shard
+            assert batch_size % nproc == 0, (
+                f"global batch_size {batch_size} not divisible by "
+                f"{nproc} processes")
         self._epoch = 0
 
     def __len__(self):
@@ -79,6 +94,12 @@ class PrefetchLoader:
             for i in range(0, n - (self.batch_size - 1 if self.drop_last else 0),
                            self.batch_size)
         ]
+        if self.process_shard is not None:
+            pid, nproc = self.process_shard
+            assert 0 <= pid < nproc and self.batch_size % nproc == 0, (
+                self.process_shard, self.batch_size)
+            lbs = self.batch_size // nproc
+            batches = [b[pid * lbs:(pid + 1) * lbs] for b in batches]
         if not batches:
             return
 

@@ -27,20 +27,23 @@ from gcd_tpu.parallel.mesh import shard_batch
 
 def make_sharded_sampler(engine, mesh, num_steps: Optional[int] = None,
                          decoding_t: Optional[int] = None,
-                         param_shardings=None):
+                         param_shardings=None, return_latents: bool = False):
     """Returns sample(params, batch, key) -> dict, jitted over `mesh`.
 
     The returned callable device_puts the batch with leading-axis sharding
     (replicating indivisible leaves) and the params replicated (or per
     `param_shardings`), then runs engine.sample_video SPMD. Outputs come back
-    fully replicated for host-side consumption.
+    fully replicated for host-side consumption — including the sampled
+    latents when requested (the latent-PCA gallery needs them; they are tiny
+    next to the decoded frames, so replication costs nothing measurable).
     """
     replicate = NamedSharding(mesh, P())
 
     @functools.partial(jax.jit, out_shardings=replicate)
     def _sample(params, batch: Dict, key):
         return engine.sample_video(params, batch, key, num_steps=num_steps,
-                                   decoding_t=decoding_t)
+                                   decoding_t=decoding_t,
+                                   return_latents=return_latents)
 
     def sample(params, batch: Dict, key):
         # Only array leaves enter the jitted program; scalar entries like

@@ -11,17 +11,23 @@ MLP ratio 4, exact GELU (laion2b checkpoints; QuickGELU is only for OpenAI
 weights), pre-LN transformer, cls-token pooling, final LayerNorm + projection
 to 1024.
 
-Preprocessing matches modules.py:703-715: resize to 224 (bicubic, antialias),
-[-1,1] -> [0,1], then CLIP mean/std normalize. NOTE: jax.image.resize uses
-half-pixel sampling (align_corners=False) while the reference's kornia call
-uses align_corners=True — a sub-pixel difference flagged for the numerics
-parity pass.
+Preprocessing matches modules.py:703-715 exactly: kornia.geometry.resize to
+224 with interpolation="bicubic", align_corners=True, antialias=True — which
+kornia implements as a separable gaussian pre-blur (sigma=(factor-1)/2 per
+axis, reflect padding, only when downscaling) followed by torch bicubic
+(A=-0.75, corner-aligned source grid, clamped borders) — then [-1,1] -> [0,1]
+and CLIP mean/std normalize. Both stages are linear with a fixed 224 target,
+so they are folded into one (224, H_in) / (224, W_in) matrix per axis and the
+resize runs as two matmuls on the MXU (tests/test_clip_tower_parity.py checks
+the fold against a torch oracle of the kornia ops).
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Any, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -140,14 +146,81 @@ class CLIPVisionTower(nn.Module):
         return pooled @ proj
 
 
-def clip_preprocess(x: jnp.ndarray, image_size: int = 224) -> jnp.ndarray:
+def _cubic_kernel(d: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """torch's cubic convolution (aten UpSample.h, A=-0.75) at distances d."""
+    ad = np.abs(d)
+    near = ((a + 2.0) * ad - (a + 3.0)) * ad * ad + 1.0
+    far = (((a * ad - 5.0 * a) * ad + 8.0 * a) * ad) - 4.0 * a
+    return np.where(ad <= 1.0, near, np.where(ad < 2.0, far, 0.0))
+
+
+def _bicubic_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) matrix of torch bicubic with align_corners=True: source
+    positions dst*(in-1)/(out-1), 4 taps clamped to the border."""
+    if out_size == 1:
+        src = np.zeros((1,), np.float32)
+    else:
+        # torch computes the source position in float32 (scalar_t); doing it
+        # in f64 gives sub-pixel offsets ~1e-8 px that noise-image gradients
+        # amplify to ~5e-5 value differences vs the torch oracle.
+        scale = np.float32(in_size - 1) / np.float32(out_size - 1)
+        src = np.arange(out_size, dtype=np.float32) * scale
+    x0 = np.floor(src).astype(np.int64)
+    t = (src - x0.astype(np.float32)).astype(np.float64)
+    mat = np.zeros((out_size, in_size))
+    rows = np.arange(out_size)
+    for k in range(-1, 3):
+        idx = np.clip(x0 + k, 0, in_size - 1)
+        np.add.at(mat, (rows, idx), _cubic_kernel(t - k))
+    return mat
+
+
+def _gaussian_blur_matrix(size: int, sigma: float) -> np.ndarray:
+    """(size, size) matrix of kornia.filters.gaussian_blur2d along one axis:
+    odd kernel of width max(4*sigma, 3), reflect ('reflect101') padding."""
+    ks = int(max(2.0 * 2.0 * sigma, 3.0))
+    if ks % 2 == 0:
+        ks += 1
+    xs = np.arange(ks) - ks // 2
+    g = np.exp(-(xs.astype(np.float64) ** 2) / (2.0 * sigma**2))
+    g /= g.sum()
+    mat = np.zeros((size, size))
+    rows = np.arange(size)
+    for j in range(ks):
+        idx = rows + (j - ks // 2)
+        idx = np.where(idx < 0, -idx, idx)
+        idx = np.where(idx >= size, 2 * (size - 1) - idx, idx)
+        np.add.at(mat, (rows, idx), g[j])
+    return mat
+
+
+@lru_cache(maxsize=64)
+def _kornia_resize_matrices(in_h: int, in_w: int, out_h: int, out_w: int,
+                            antialias: bool):
+    """Per-axis (out, in) f32 matrices reproducing kornia.geometry.resize
+    (modules.py:705-710): gaussian pre-blur folded into corner-aligned
+    bicubic. Kornia blurs BOTH axes whenever max(in/out) > 1, with the
+    per-axis sigma floored at 0.001 (≈ identity for an upscaling axis)."""
+    my = _bicubic_matrix(in_h, out_h)
+    mx = _bicubic_matrix(in_w, out_w)
+    fy, fx = in_h / out_h, in_w / out_w
+    if antialias and max(fy, fx) > 1.0:
+        my = my @ _gaussian_blur_matrix(in_h, max((fy - 1.0) / 2.0, 0.001))
+        mx = mx @ _gaussian_blur_matrix(in_w, max((fx - 1.0) / 2.0, 0.001))
+    return my.astype(np.float32), mx.astype(np.float32)
+
+
+def clip_preprocess(x: jnp.ndarray, image_size: int = 224,
+                    antialias: bool = True) -> jnp.ndarray:
     """(N, H, W, 3) in [-1, 1] -> (N, 224, 224, 3) CLIP-normalized
-    (modules.py:703-715)."""
+    (modules.py:703-715, kornia align_corners=True semantics)."""
     n, h, w, c = x.shape
-    x = jax.image.resize(
-        x.astype(jnp.float32), (n, image_size, image_size, c), method="bicubic",
-        antialias=True,
-    )
+    x = x.astype(jnp.float32)
+    if (h, w) != (image_size, image_size):
+        my, mx = _kornia_resize_matrices(h, w, image_size, image_size,
+                                         antialias)
+        x = jnp.einsum("oh,nhwc->nowc", jnp.asarray(my), x)
+        x = jnp.einsum("ow,nhwc->nhoc", jnp.asarray(mx), x)
     x = (x + 1.0) / 2.0
     mean = jnp.asarray(CLIP_MEAN)
     std = jnp.asarray(CLIP_STD)

@@ -42,6 +42,10 @@ Flag -> env var -> meaning:
   subpix_upsample GCD_SUBPIX_UP   nearest-2x upsample folded into the next
                                   3x3 conv as a 4-phase 2x2 conv, 2.25x
                                   fewer MACs (ops/subpixel.py)
+  flash_pack2   GCD_FLASH_PACK2   pack two 64-dim heads into one 128-lane
+                                  MXU contraction inside the flash forward
+                                  (block-diagonal zero-packed K/V;
+                                  ops/flash_attention.py _mh_kernel)
 """
 
 from __future__ import annotations
@@ -63,6 +67,7 @@ _DEFAULTS = {
     "gn_stats_pallas": False,
     "sconv_matmul": False,
     "subpix_upsample": False,
+    "flash_pack2": False,
 }
 
 _ENV = {
@@ -78,6 +83,7 @@ _ENV = {
     "gn_stats_pallas": "GCD_GN_STATS",
     "sconv_matmul": "GCD_SCONV_MATMUL",
     "subpix_upsample": "GCD_SUBPIX_UP",
+    "flash_pack2": "GCD_FLASH_PACK2",
 }
 
 _tls = threading.local()

@@ -40,35 +40,78 @@ NEG_INF = -1e30
 VMEM_BUDGET_BYTES = 32 * 1024 * 1024
 
 
+def _softmax_rows(logits: jnp.ndarray, kv_len: int) -> jnp.ndarray:
+    """Row softmax numerator over (BQ, S) fp32 logits with column masking
+    (the denominator is divided out AFTER the PV matmul — (BQ, D) instead of
+    (BQ, S) VPU work, S/D x less; 24x at ds1). Returns (p, denom)."""
+    if logits.shape[1] != kv_len:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    return p, jnp.sum(p, axis=-1, keepdims=True)
+
+
 def _mh_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int,
-               d: int, kv_len: int):
-    """One q-block x full K/V for all heads. Refs: (1, BQ|S, H*D)."""
+               d: int, kv_len: int, pack2: bool = False):
+    """One q-block x full K/V for all heads. Refs: (1, BQ|S, H*D).
+
+    pack2 (VERDICT r3 #8): a 64-deep contraction only fills half the MXU's
+    128-lane systolic depth, capping the per-head QK^T/PV matmuls at half
+    peak. Packing adjacent head pairs block-diagonally —
+        Q2 = [q_h1 | q_h2]              (BQ, 2D)
+        K2 = [[k_h1 | 0], [0 | k_h2]]   (2S, 2D)
+        V2 = [[v_h1 | 0], [0 | v_h2]]   (2S, 2D)
+    — makes Q2 @ K2^T = [L_h1 | L_h2] (BQ, 2S) and P2 @ V2 = [o_h1 | o_h2]
+    (BQ, 2D) single full-depth matmuls. The zero blocks double the multiplier
+    occupancy, not the math: FLOP count is identical, utilization doubles.
+    """
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     s_pad = k.shape[0]
     outs = []
-    for h in range(heads):
-        qh = q[:, h * d:(h + 1) * d]
-        kh = k[:, h * d:(h + 1) * d]
-        vh = v[:, h * d:(h + 1) * d]
-        logits = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (BQ, S)
-        if s_pad != kv_len:
-            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(col < kv_len, logits, NEG_INF)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        # Normalize after the PV matmul: the division then touches (BQ, D)
-        # instead of (BQ, S) — S/D x less VPU work (24x at ds1).
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        oh = jax.lax.dot_general(
-            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) / denom
-        outs.append(oh)
+    if pack2 and heads % 2 == 0 and 2 * d <= 128:
+        for hp in range(heads // 2):
+            c0 = 2 * hp * d
+            q2 = q[:, c0:c0 + 2 * d]  # adjacent heads are contiguous
+            kh1, kh2 = k[:, c0:c0 + d], k[:, c0 + d:c0 + 2 * d]
+            vh1, vh2 = v[:, c0:c0 + d], v[:, c0 + d:c0 + 2 * d]
+            zero = jnp.zeros_like(kh1)
+            k2 = jnp.concatenate(
+                [jnp.concatenate([kh1, zero], axis=-1),
+                 jnp.concatenate([zero, kh2], axis=-1)], axis=0)  # (2S, 2D)
+            v2 = jnp.concatenate(
+                [jnp.concatenate([vh1, zero], axis=-1),
+                 jnp.concatenate([zero, vh2], axis=-1)], axis=0)
+            logits = jax.lax.dot_general(
+                q2, k2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (BQ, 2S) = [L_h1 | L_h2]
+            p1, den1 = _softmax_rows(logits[:, :s_pad], kv_len)
+            p2, den2 = _softmax_rows(logits[:, s_pad:], kv_len)
+            o2 = jax.lax.dot_general(
+                jnp.concatenate([p1, p2], axis=-1).astype(v2.dtype), v2,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BQ, 2D) = [o_h1 | o_h2]
+            outs.append(jnp.concatenate(
+                [o2[:, :d] / den1, o2[:, d:] / den2], axis=-1))
+    else:
+        for h in range(heads):
+            qh = q[:, h * d:(h + 1) * d]
+            kh = k[:, h * d:(h + 1) * d]
+            vh = v[:, h * d:(h + 1) * d]
+            logits = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (BQ, S)
+            p, denom = _softmax_rows(logits, kv_len)
+            oh = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / denom
+            outs.append(oh)
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
@@ -113,10 +156,12 @@ def _flash_fwd(q3: jnp.ndarray, k3: jnp.ndarray, v3: jnp.ndarray,
         v3 = jnp.pad(v3, ((0, 0), (0, skv_pad - skv), (0, 0)))
     sq_pad = q3.shape[1]
 
+    from gcd_tpu.ops.dispatch import kernel_enabled
+
     grid = (b, sq_pad // block_q)
     out = pl.pallas_call(
         functools.partial(_mh_kernel, scale=scale, heads=heads, d=d,
-                          kv_len=skv),
+                          kv_len=skv, pack2=kernel_enabled("flash_pack2")),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, hd), lambda r, i: (r, i, 0),

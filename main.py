@@ -49,6 +49,18 @@ def get_parser():
         "--cpu_devices", type=int, default=0,
         help="Force N virtual CPU devices (XLA_FLAGS is clobbered by the host "
              "sitecustomize, so this goes through jax.config)")
+    # Multi-process (multi-host) SPMD — the TPU-native --num_nodes
+    # (gcd-model/main.py:917-918; gcd_tpu/parallel/distributed.py). Every
+    # process runs this same CLI; the mesh spans all processes' devices and
+    # each process feeds its slice of the global batch.
+    parser.add_argument(
+        "--coordinator", type=str, default="",
+        help="host:port of process 0 for jax.distributed.initialize")
+    parser.add_argument(
+        "--num_processes", type=int, default=0,
+        help="0 = single-process (default); -1 = auto-detect from the TPU "
+             "pod runtime; N>1 = explicit cluster of N processes")
+    parser.add_argument("--process_id", type=int, default=0)
     parser.add_argument(
         "--profile_steps", type=int, default=0,
         help="Capture a jax profiler trace (xplane) of steps 2..2+N under "
@@ -87,7 +99,10 @@ def main(argv=None):
         create_train_state, make_jitted_train_step, make_schedule_fn,
     )
     from gcd_tpu.engine.image_logger import ImageLogger
-    from gcd_tpu.parallel.mesh import create_mesh, shard_params, shard_batch
+    from gcd_tpu.parallel.mesh import (
+        create_mesh, make_param_shardings, shard_params, shard_batch,
+    )
+    from gcd_tpu.parallel import distributed
     from gcd_tpu.io.checkpoint import (
         save_checkpoint, restore_checkpoint, latest_step, find_resume_logdir,
     )
@@ -113,6 +128,17 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # Join the multi-host cluster before any device query (no-op for
+    # single-process runs).
+    distributed.initialize(opt.coordinator or None, opt.num_processes,
+                           opt.process_id)
+    nproc = distributed.process_count()
+    is_main_proc = distributed.is_main()
+
+    def mprint(*args, **kwargs):
+        if is_main_proc:
+            print(*args, **kwargs)
+
     # ---- config assembly (main.py:637-753) -------------------------------
     if opt.resume:
         logdir = find_resume_logdir(opt.resume)
@@ -125,6 +151,8 @@ def main(argv=None):
                     if opt.base else "none")
         name = opt.name or cfg_name
         nowname = name if opt.no_date else f"{now}_{name}"
+        # All processes must agree on the (timestamped) run directory.
+        nowname = distributed.broadcast_str(nowname)
         logdir = os.path.join(opt.logdir, nowname)
 
     configs = [load_config(fp) for fp in opt.base]
@@ -135,8 +163,9 @@ def main(argv=None):
     cfgdir = os.path.join(logdir, "configs")
     os.makedirs(ckptdir, exist_ok=True)
     os.makedirs(cfgdir, exist_ok=True)
-    save_config(config, os.path.join(
-        cfgdir, f"{datetime.datetime.now():%Y-%m-%dT%H-%M-%S}-project.yaml"))
+    if is_main_proc:
+        save_config(config, os.path.join(
+            cfgdir, f"{datetime.datetime.now():%Y-%m-%dT%H-%M-%S}-project.yaml"))
 
     np.random.seed(opt.seed)
     key = jax.random.PRNGKey(opt.seed)
@@ -150,6 +179,11 @@ def main(argv=None):
     data_cfg = config["data"]
     data_module = instantiate_from_config(data_cfg)
     loader = data_module.train_dataloader()
+    if nproc > 1:
+        # Multi-host feeding: config batch_size stays the GLOBAL batch;
+        # this process loads/renders only its contiguous row slice
+        # (data/loader.py process_shard).
+        loader.process_shard = (distributed.process_index(), nproc)
 
     frame_h = int(get_by_path(config, "data.params.frame_height", 256))
     frame_w = int(get_by_path(config, "data.params.frame_width", 384))
@@ -168,10 +202,19 @@ def main(argv=None):
         k: v for k, v in img_logger_cfg.items()
         if k in ("batch_frequency", "max_images", "disabled", "log_first_step")
     })
+    if nproc > 1 and not image_logger.disabled:
+        # Sampling from FSDP-sharded params is a cross-process collective
+        # program; running it only on process 0 would deadlock the cluster.
+        # Multi-host image logging needs an all-process log call with
+        # process-0-only writes — not wired yet, so disable it loudly.
+        mprint("image logging disabled for multi-process runs")
+        image_logger.disabled = True
     # WandbLogger when requested + importable, CSV fallback (main.py:760-801).
-    csv_logger = CSVLogger(logdir)
+    # Metrics are identical on every process (replicated outputs): process 0
+    # is the only writer.
+    csv_logger = CSVLogger(logdir) if is_main_proc else None
     wandb_run = None
-    if opt.wandb:
+    if opt.wandb and is_main_proc:
         try:
             import wandb
 
@@ -181,7 +224,8 @@ def main(argv=None):
             print("wandb requested but not installed; using CSV logger only")
 
     def log_metrics(metrics: dict):
-        csv_logger.log(metrics)
+        if csv_logger is not None:
+            csv_logger.log(metrics)
         if wandb_run is not None:
             wandb_run.log(metrics, step=metrics.get("step"))
 
@@ -195,7 +239,11 @@ def main(argv=None):
         lr = base_lr
 
     # ---- params ----------------------------------------------------------
-    print(f"Initializing parameters ({frame_h}x{frame_w}, T={t})...")
+    mprint(f"Initializing parameters ({frame_h}x{frame_w}, T={t})...")
+    # Every process initializes the identical full replica from the shared
+    # key (local devices only), torch-ckpt ingest overwrites it from the
+    # shared filesystem, and placement onto the (possibly cross-process)
+    # mesh happens once at the end.
     params = jax.jit(
         lambda k: engine.init_params(k, img_hw=(frame_h, frame_w), t=t)
     )(key)
@@ -204,13 +252,20 @@ def main(argv=None):
     if opt.resume_from_checkpoint:
         ckpt_path = opt.resume_from_checkpoint
     if ckpt_path and os.path.exists(str(ckpt_path)):
-        print(f"Loading torch checkpoint {ckpt_path}...")
-        params = engine.load_torch_checkpoint(str(ckpt_path), params)
-        params = jax.tree_util.tree_map(jnp.asarray, params)
+        mprint(f"Loading torch checkpoint {ckpt_path}...")
+        params = engine.load_torch_checkpoint(str(ckpt_path), params,
+                                              verbose=is_main_proc)
 
     mesh = create_mesh(data=-1, fsdp=opt.mesh_fsdp, tensor=opt.mesh_tensor)
-    print(f"Mesh: {dict(mesh.shape)} over {n_devices} devices")
-    params, _ = shard_params(params, mesh)
+    mprint(f"Mesh: {dict(mesh.shape)} over {n_devices} devices, "
+           f"{nproc} process(es)")
+    if nproc > 1:
+        params = jax.tree_util.tree_map(np.asarray, params)
+        params = distributed.put_host_tree(
+            params, make_param_shardings(params, mesh))
+    else:
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        params, _ = shard_params(params, mesh)
 
     # scheduler_config -> optax schedule (reference diffusion.py:420-430);
     # None keeps constant LR. The optimizer itself (Adam vs AdamW etc.)
@@ -225,7 +280,7 @@ def main(argv=None):
     start_step = 0
     resume_step = latest_step(ckptdir)
     if opt.resume and resume_step is not None:
-        print(f"Resuming from {ckptdir} step {resume_step}")
+        mprint(f"Resuming from {ckptdir} step {resume_step}")
         restored = restore_checkpoint(ckptdir, resume_step, target={
             "params": state.params, "opt_state": state.opt_state,
             "step": state.step, "ema": state.ema,
@@ -236,7 +291,7 @@ def main(argv=None):
     # ---- melk: checkpoint on signal/exception (main.py:969-997) ----------
     def melk(*args):
         print("Saving checkpoint on interrupt/exception (melk)...")
-        save_checkpoint(ckptdir, int(state.step), {
+        save_checkpoint(ckptdir, int(distributed.local_scalar(state.step)), {
             "params": state.params, "opt_state": state.opt_state,
             "step": state.step, "ema": state.ema,
         })
@@ -248,7 +303,7 @@ def main(argv=None):
     # ---- train loop ------------------------------------------------------
     global_step = start_step
     max_steps = opt.max_steps if opt.max_steps > 0 else None
-    print(f"Training from step {global_step} (ckpt every {ckpt_every})...")
+    mprint(f"Training from step {global_step} (ckpt every {ckpt_every})...")
     try:
         done = False
         for epoch in range(max_epochs):
@@ -262,17 +317,20 @@ def main(argv=None):
                     print(f"profiler trace written to {logdir}/profile")
                     opt.profile_steps = 0
                 step_t0 = time.time()
-                batch = {
-                    k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
-                    for k, v in batch_np.items()
-                }
-                batch, _ = shard_batch(batch, mesh)
+                if nproc > 1:
+                    batch = distributed.make_global_batch(batch_np, mesh)
+                else:
+                    batch = {
+                        k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+                        for k, v in batch_np.items()
+                    }
+                    batch, _ = shard_batch(batch, mesh)
                 step_key = jax.random.fold_in(key, global_step)
                 state, metrics = step_fn(state, batch, step_key)
-                global_step = int(state.step)
+                global_step = int(distributed.local_scalar(state.step))
 
-                loss = float(metrics["loss"])
-                if global_step % 10 == 0 or global_step <= 5:
+                loss = distributed.local_scalar(metrics["loss"])
+                if is_main_proc and (global_step % 10 == 0 or global_step <= 5):
                     dt = time.time() - step_t0
                     print(f"step {global_step} epoch {epoch} "
                           f"loss {loss:.4f} ({dt:.2f}s/it)")
@@ -280,7 +338,8 @@ def main(argv=None):
                           if schedule_fn is not None else lr)
                 log_metrics({
                     "step": global_step, "epoch": epoch, "loss": loss,
-                    "grad_norm": float(metrics["grad_norm"]), "lr": cur_lr,
+                    "grad_norm": distributed.local_scalar(metrics["grad_norm"]),
+                    "lr": cur_lr,
                 })
 
                 if image_logger.should_log(global_step):
@@ -308,7 +367,7 @@ def main(argv=None):
         "params": state.params, "opt_state": state.opt_state,
         "step": state.step, "ema": state.ema,
     })
-    print(f"Training finished at step {global_step}; logdir: {logdir}")
+    mprint(f"Training finished at step {global_step}; logdir: {logdir}")
     return logdir
 
 

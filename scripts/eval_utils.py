@@ -523,13 +523,18 @@ def make_sampler(bundle: ModelBundle, mesh_data: int = 1, mesh_fsdp: int = 1,
         from gcd_tpu.parallel.mesh import create_mesh, make_param_shardings
         from gcd_tpu.engine.serving import make_sharded_sampler
 
-        mesh = create_mesh(data=mesh_data, fsdp=mesh_fsdp, tensor=mesh_tensor)
+        # "Use N chips": a host can expose more devices than the requested
+        # serving mesh (e.g. --mesh_data 2 on an 8-device test host).
+        n_mesh = mesh_data * mesh_fsdp * mesh_tensor
+        mesh = create_mesh(data=mesh_data, fsdp=mesh_fsdp, tensor=mesh_tensor,
+                           devices=jax.devices()[:n_mesh])
         # Params stay replicated for pure batch-sharded serving (a bf16 UNet
         # fits one chip); TP serving needs the Megatron param placements.
         param_shardings = (make_param_shardings(bundle.params, mesh)
                            if mesh_tensor > 1 else None)
         sharded = make_sharded_sampler(engine, mesh, decoding_t=decoding_t,
-                                       param_shardings=param_shardings)
+                                       param_shardings=param_shardings,
+                                       return_latents=return_latents)
 
         def sample(batch, key):
             return sharded(bundle.params, batch, key)

@@ -293,8 +293,7 @@ def main(argv=None):
         eval_utils.make_sampler(b, args.mesh_data, args.mesh_fsdp,
                                 decoding_t=args.decoding_t,
                                 mesh_tensor=args.mesh_tensor,
-                                return_latents=args.mesh_data
-                                * args.mesh_fsdp * args.mesh_tensor <= 1)
+                                return_latents=True)
         for b in bundles
     ]
     enabled = (("rich1", "rich2", "rich3", "rich4", "rich5", "rich6", "rich7")

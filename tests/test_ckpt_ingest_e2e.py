@@ -20,47 +20,18 @@ import jax  # noqa: E402
 
 from gcd_tpu.io.convert import (  # noqa: E402
     flax_path_to_torch_key,
-    gcd_clip_rename,
+    synthesize_reference_state_dict,
     _iter_tree_paths,
 )
 from gcd_tpu.utils.config import instantiate_from_config  # noqa: E402
 from tests.helpers import tiny_engine_config  # noqa: E402
 
 
-def _to_torch_layout(arr: np.ndarray, kind: str) -> np.ndarray:
-    """Inverse of io.convert.convert_tensor: flax layout -> torch layout."""
-    if kind == "linear_or_conv":
-        if arr.ndim == 2:
-            return arr.T
-        if arr.ndim == 4:  # HWIO -> OIHW
-            return arr.transpose(3, 2, 0, 1)
-        if arr.ndim == 5:  # DHWIO -> OIDHW
-            return arr.transpose(4, 3, 0, 1, 2)
-        return arr
-    if kind == "mha_w":
-        return arr.T
-    return arr
-
-
 def _synth_state_dict(params, rng):
-    """A complete reference-layout state dict covering every convertible leaf
-    of the engine param template, with fresh random values (so the test can
-    tell loaded-from-ckpt apart from template fallback)."""
-    sd = {}
-    for tree_key, torch_prefix in (
-        ("model", "model.diffusion_model."),
-        ("conditioner", "conditioner."),
-        ("first_stage", "first_stage_model."),
-    ):
-        for path, leaf in _iter_tree_paths(params[tree_key]):
-            res = flax_path_to_torch_key(path)
-            if res is None:
-                continue
-            key, kind = res
-            key = gcd_clip_rename(torch_prefix + key)
-            fresh = rng.standard_normal(np.shape(leaf)).astype(np.float32)
-            sd[key] = _to_torch_layout(fresh, kind)
-    return sd
+    """Complete reference-layout state dict (gcd_tpu.io.convert helper) with
+    heavy perturbation so loaded-from-ckpt differs from template fallback."""
+    return synthesize_reference_state_dict(params, rng, dtype=np.float32,
+                                           perturb=1.0)
 
 
 def test_torch_ckpt_ingest_with_ema_overlay(tmp_path, capsys):

@@ -40,6 +40,33 @@ def test_forward_interpret_matches_xla(shape, heads):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("shape,heads", [((2, 512, 128), 2),
+                                         ((2, 300, 256), 4)])
+def test_forward_pack2_matches_xla(shape, heads):
+    """Head-pair packed forward (flash_pack2): block-diagonal zero-packed
+    K/V must be numerically identical to the per-head loop."""
+    from gcd_tpu.ops.dispatch import kernel_flags
+
+    key = jax.random.PRNGKey(7)
+    q = jax.random.normal(key, shape, jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), shape, jnp.float32)
+    d = shape[-1] // heads
+    scale = float(d**-0.5)
+
+    import functools
+    from unittest import mock
+
+    orig = fa.pl.pallas_call
+    with mock.patch.object(fa.pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        with kernel_flags(flash_pack2=True):
+            out = fa._flash_fwd(q, k, v, scale, heads)
+    ref = _xla(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_backward_interpret_matches_xla_vjp():
     heads = 2
     shape = (2, 384, 128)

