@@ -389,9 +389,11 @@ def build_train_step():
     jstep = jax.jit(step, donate_argnums=(0, 1))
 
     def flagged_step(uparams, opt_state, frames, cond_frames, key):
-        # Match the production trainer's trace configuration (the temporal-
-        # attn Pallas kernel inside grad programs crashes the remote TPU
-        # compiler; engine/trainer.py make_jitted_train_step).
+        # Match the production trainer's trace configuration: tattn Pallas
+        # is disabled in grad programs because it measures SLOWER there
+        # (396.0 vs 383.3 ms/step on v5e — recompute custom_vjp cost;
+        # engine/trainer.py make_jitted_train_step). GCD_TATTN_PALLAS=1
+        # still overrides for A/B runs.
         with kernel_flags(tattn_pallas=False):
             return jstep(uparams, opt_state, frames, cond_frames, key)
 

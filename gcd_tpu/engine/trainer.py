@@ -192,13 +192,18 @@ def make_jitted_train_step(engine: DiffusionEngine, opt, mesh=None,
             except Exception:
                 cache["fn"] = jax.jit(step_fn, donate_argnums=donate_args)
         # Trace the training step with the Pallas temporal-attention kernel
-        # disabled (XLA path): combining it with the fused-MLP kernel inside
-        # one *grad* program reproducibly crashes the remote TPU compile
-        # helper (HTTP 500, no diagnostics), while every inference program
-        # and each kernel alone compile fine. Costs ~2% training throughput
-        # (380.5 vs ~372 ms/step est.). Thread-local override, so concurrent
-        # eval/sampling traces on other threads keep the kernel; the
-        # GCD_TATTN_PALLAS env var still takes precedence if a user sets it.
+        # disabled (XLA path). History: round 2's toolchain crashed the
+        # remote TPU compile helper (HTTP 500) when tattn + fused-MLP shared
+        # one grad program; on the current toolchain that no longer
+        # reproduces (scripts/repro_tattn_mlp_grad.py, and the full flagship
+        # step compiles with the kernel forced on). The gate stays on
+        # MEASURED grounds now: the full train step runs 396.0 ms/step with
+        # tattn ON vs 383.3 ms/step gated (TPU v5e, bench.py GCD_BENCH_TRAIN)
+        # — the kernel's recompute-style custom_vjp costs more in the grad
+        # program than its forward saves. Thread-local override, so
+        # concurrent eval/sampling traces on other threads keep the kernel;
+        # the GCD_TATTN_PALLAS env var still takes precedence if a user
+        # sets it.
         from gcd_tpu.ops.dispatch import kernel_flags
 
         with kernel_flags(tattn_pallas=False):

@@ -11,6 +11,13 @@ a two-layer toy (temporal attention -> GEGLU MLP) with the four flag
 combinations, compiled and run on the live backend. Output is one JSON line
 per combination: {"tattn": b, "mlp": b, "ok": b, "err": "..."}.
 
+RESOLVED (round 4, 2026-08-19): on the current toolchain all four toy
+combinations compile AND the full flagship train step compiles with
+GCD_TATTN_PALLAS=1 — the crash no longer reproduces. The trainer gate is
+now kept on measured-performance grounds instead: tattn ON = 396.0 ms/step
+vs 383.3 ms/step gated (bench.py GCD_BENCH_TRAIN, TPU v5e). Keep this
+harness for future toolchain regressions.
+
 Run on TPU:  python scripts/repro_tattn_mlp_grad.py
 """
 
