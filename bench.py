@@ -591,8 +591,18 @@ def supervise() -> int:
         log(f"[bench] signal {signum} — emitting fallback line before exit")
         sys.exit(_emit_fallback_and_exit())
 
-    signal.signal(signal.SIGTERM, on_term)
+    # Restore the caller's handler on return: the supervisor tests call
+    # supervise() in-process, and a leaked handler turns any later SIGTERM
+    # to that process (e.g. a pytest-level timeout) into a confusing
+    # SystemExit from inside unrelated code.
+    prev_handler = signal.signal(signal.SIGTERM, on_term)
+    try:
+        return _supervise_loop()
+    finally:
+        signal.signal(signal.SIGTERM, prev_handler)
 
+
+def _supervise_loop() -> int:
     budget_s = float(os.environ.get("GCD_BENCH_BUDGET_S", 2700))
     inner_timeout_s = float(os.environ.get("GCD_BENCH_INNER_TIMEOUT_S", 1200))
     deadline = time.time() + budget_s

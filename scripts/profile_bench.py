@@ -54,7 +54,10 @@ def capture(outdir: str, what: str = "clip", time_iters: int = 0) -> None:
     else:
         from bench import build_sampler_fn
 
-        run_clip = build_sampler_fn()
+        # GCD_BENCH_BATCH=N profiles the batched-serving program (the
+        # PERF_BATCH.json rows) instead of the driver's batch-1 workload.
+        batch = int(os.environ.get("GCD_BENCH_BATCH", "1"))
+        run_clip = build_sampler_fn(batch)
         key = jax.random.PRNGKey(0)
         fn = lambda i: run_clip(jax.random.fold_in(key, i))
 
