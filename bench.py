@@ -172,6 +172,24 @@ def build_sampler_fn(batch: int = 1):
                                timesteps=T)
         return frames.astype(jnp.float32)
 
+    # Program-level kernel policy for this (CFG-doubled) batch extent —
+    # the PERF_BATCH batch-4 XLA layout-pathology mitigation (see
+    # dispatch.program_flag_overrides). The flags wrap the CALL so the jit
+    # trace happens inside the thread-local context.
+    from gcd_tpu.ops.dispatch import kernel_flags, program_flag_overrides
+
+    overrides = program_flag_overrides(bt)
+    if overrides:
+        log(f"program kernel overrides for bt={bt}: {overrides}")
+
+        def run_with_policy(key):
+            with kernel_flags(**overrides):
+                return run_clip(uparams, dparams, key)
+
+        # keep the AOT hooks used by profile/mem-analysis tools
+        run_with_policy.func, run_with_policy.args = run_clip, (uparams, dparams)
+        run_with_policy.kernel_overrides = overrides
+        return run_with_policy
     return functools.partial(run_clip, uparams, dparams)
 
 

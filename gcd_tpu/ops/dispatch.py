@@ -98,13 +98,45 @@ def _stack():
 
 def kernel_enabled(name: str) -> bool:
     """Effective value of a dispatch flag for the calling thread."""
+    explicit = kernel_setting(name)
+    return _DEFAULTS[name] if explicit is None else explicit
+
+
+def kernel_setting(name: str):
+    """The EXPLICIT value of a flag (env var or thread-local kernel_flags),
+    or None when neither is set. Lets shape-aware auto-rules (e.g. the
+    GroupNorm-stats layout guard in ops/fused_norm.py) defer to any explicit
+    user/caller choice while still overriding the plain default."""
     env = os.environ.get(_ENV[name])
     if env is not None and env != "":
         return env != "0"
     for frame in reversed(_stack()):
         if name in frame:
             return frame[name]
-    return _DEFAULTS[name]
+    return None
+
+
+def program_flag_overrides(batch_time_extent: int) -> dict:
+    """Measured program-level kernel policy for a sampling/serving program
+    whose flattened CFG-doubled batch-time extent is `batch_time_extent`.
+
+    PERF_BATCH.json batch-4 diagnosis (round 4): at extent 112 (4 clips x
+    14 frames x2 CFG) XLA's layout assignment gives three ds1 GroupNorm-
+    stats fusions (input bf16[112,32,48,320]) a batch-minormost layout
+    {0,3,2,1} that executes at 0.6 GiB/s — ~41 s of the 52.6 s clip —
+    while identical-shape stats fusions in the same program run at 58-75
+    GiB/s. Tracing the WHOLE program with the opaque Pallas GN-stats
+    kernel (gn_stats_pallas) forces sane layouts: 1.065 -> 4.49
+    frames/s/chip measured e2e. Site-scoped variants of the fix were
+    rejected (see ops/fused_norm.py); only the whole-program flip is
+    measured-good. Callers wrap their jitted program's first (tracing)
+    call in `kernel_flags(**program_flag_overrides(bt))`; an explicit
+    GCD_GN_STATS env var still takes precedence over the thread-local
+    flag either way.
+    """
+    if batch_time_extent == 112:
+        return {"gn_stats_pallas": True}
+    return {}
 
 
 @contextmanager

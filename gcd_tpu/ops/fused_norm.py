@@ -223,6 +223,17 @@ def _reference_groupnorm(x, scale, bias, num_groups, eps, silu):
     # on x detaches the reduce but blocks the conv's other epilogue fusions
     # (5.04 -> 4.90 frames/s e2e). The plain form is the best known.
     from gcd_tpu.ops.attention import _is_tpu_backend
+
+    # The gn_stats_pallas flag is also set PROGRAM-WIDE for pathological
+    # batch extents by dispatch.program_flag_overrides (the PERF_BATCH
+    # batch-4 layout-pathology mitigation) — see that function's docstring.
+    # A site-scoped auto-rule here was tried first and rejected: switching
+    # only some GN sites re-shuffles XLA's global layout assignment, which
+    # either re-creates the pathological batch-minormost reduce on the
+    # remaining sites (N=112-only variant of the 320-ch rule: still 1.06
+    # f/s) or produces a program that faults the v5e at run time (all-N=112
+    # variant: 3x reproducible device fault). Only the whole-program flip
+    # is measured-good.
     from gcd_tpu.ops.dispatch import kernel_enabled
 
     use_pallas_stats = (

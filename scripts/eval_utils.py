@@ -21,6 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gcd_tpu.data import common
+from gcd_tpu.ops.dispatch import kernel_flags, program_flag_overrides
 from gcd_tpu.utils.config import (
     load_config, set_by_path, get_by_path, instantiate_from_config,
 )
@@ -537,13 +538,23 @@ def make_sampler(bundle: ModelBundle, mesh_data: int = 1, mesh_fsdp: int = 1,
                                        return_latents=return_latents)
 
         def sample(batch, key):
-            return sharded(bundle.params, batch, key)
+            with kernel_flags(**program_flag_overrides(_cfg_extent(batch))):
+                return sharded(bundle.params, batch, key)
 
         return sample
 
     def sample(batch, key):
-        return engine.sample_video(bundle.params, batch, key,
-                                   decoding_t=decoding_t,
-                                   return_latents=return_latents)
+        # Program-level kernel policy for the traced extent (the PERF_BATCH
+        # batch-4 XLA layout pathology; see dispatch.program_flag_overrides).
+        with kernel_flags(**program_flag_overrides(_cfg_extent(batch))):
+            return engine.sample_video(bundle.params, batch, key,
+                                       decoding_t=decoding_t,
+                                       return_latents=return_latents)
 
     return sample
+
+
+def _cfg_extent(batch) -> int:
+    """CFG-doubled denoiser batch-time extent of a serving batch."""
+    frames = batch.get("cond_frames", batch.get("jpg"))
+    return 2 * int(frames.shape[0]) if frames is not None else 0

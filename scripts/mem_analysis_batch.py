@@ -30,9 +30,17 @@ def analyze(batch: int) -> dict:
     run_clip = build_sampler_fn(batch)
     # functools.partial(run_clip, uparams, dparams) -> trace the underlying
     # jitted fn with the bound args so AOT lower/compile sees real shapes.
+    # Honor the program-level kernel policy (kernel_overrides) so the
+    # analyzed program matches what the bench actually runs.
+    from contextlib import nullcontext
+
+    from gcd_tpu.ops.dispatch import kernel_flags
+
+    overrides = getattr(run_clip, "kernel_overrides", None)
     key = jax.random.PRNGKey(0)
     t0 = time.time()
-    lowered = run_clip.func.lower(*run_clip.args, key)
+    with kernel_flags(**overrides) if overrides else nullcontext():
+        lowered = run_clip.func.lower(*run_clip.args, key)
     compiled = lowered.compile()
     dt = time.time() - t0
     row = {"clips_per_batch": batch, "compile_s": round(dt, 1)}
