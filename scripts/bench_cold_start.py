@@ -189,8 +189,18 @@ def main() -> None:
         return phase_restore()
 
     results = {}
+
+    def flush():
+        # Persist after every phase: each phase costs minutes of TPU time
+        # and a crashed orchestrator must not lose completed measurements.
+        with open(args.out, "w") as f:
+            json.dump({"metric": ("serving cold start: time-to-first-clip, "
+                                  "bench workload"),
+                       "modes": results}, f, indent=1)
+
     print("[cold-start] phase 1/5: cold jit ...", file=sys.stderr, flush=True)
     results["jit_cold"] = run_phase("jit")
+    flush()
     print("[cold-start] phase 2/5: warm the persistent cache ...",
           file=sys.stderr, flush=True)
     os.makedirs(CACHE_DIR, exist_ok=True)
@@ -202,16 +212,19 @@ def main() -> None:
         "on axon-tunnel hosts XLA compiles SERVER-side, so the local "
         "persistent cache cannot hit; expect parity with jit_cold here "
         "(within tunnel noise) and a near-instant boot on standard TPU hosts")
+    flush()
     print("[cold-start] phase 4/5: export + AOT load ...", file=sys.stderr,
           flush=True)
     exp = run_phase("export")
     if "error" not in exp:
         results["export_artifact"] = exp
+        flush()
         results["aot_load"] = run_phase("load")
         results["aot_load"]["note"] = (
             "param_init_s is EXCLUDED from time_to_first_clip_s here "
             "(random-weight materialization stands in for the checkpoint "
             "store); the 'serving_restore' row measures the real boot")
+        flush()
         print("[cold-start] phase 5/5: orbax save + restore boot ...",
               file=sys.stderr, flush=True)
         prep = run_phase("save_params")
@@ -223,13 +236,10 @@ def main() -> None:
     else:
         results["export_artifact"] = exp
 
-    out = {
-        "metric": "serving cold start: time-to-first-clip, bench workload",
-        "modes": results,
-    }
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out))
+    flush()
+    print(json.dumps({"metric": ("serving cold start: time-to-first-clip, "
+                                 "bench workload"),
+                      "modes": results}))
     print(f"wrote {args.out}", file=sys.stderr)
 
 
