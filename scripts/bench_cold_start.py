@@ -175,6 +175,10 @@ def main() -> None:
     ap.add_argument("--phase", choices=["jit", "cache", "export", "load",
                                         "save_params", "restore"])
     ap.add_argument("--out", default=os.path.join(ROOT, "PERF_COLDSTART.json"))
+    ap.add_argument("--skip_jit", action="store_true",
+                    help="keep the jit_cold/jit_warm_cache rows already in "
+                         "--out (each costs ~7 min of TPU) and measure only "
+                         "the export/AOT/restore phases")
     args = ap.parse_args()
 
     if args.phase in ("jit", "cache"):
@@ -198,20 +202,34 @@ def main() -> None:
                                   "bench workload"),
                        "modes": results}, f, indent=1)
 
-    print("[cold-start] phase 1/5: cold jit ...", file=sys.stderr, flush=True)
-    results["jit_cold"] = run_phase("jit")
-    flush()
-    print("[cold-start] phase 2/5: warm the persistent cache ...",
-          file=sys.stderr, flush=True)
-    os.makedirs(CACHE_DIR, exist_ok=True)
-    run_phase("jit", {"GCD_JAX_CACHE": CACHE_DIR})  # populate
-    print("[cold-start] phase 3/5: cache-warm boot ...", file=sys.stderr,
-          flush=True)
-    results["jit_warm_cache"] = run_phase("jit", {"GCD_JAX_CACHE": CACHE_DIR})
-    results["jit_warm_cache"]["note"] = (
+    warm_note = (
         "on axon-tunnel hosts XLA compiles SERVER-side, so the local "
         "persistent cache cannot hit; expect parity with jit_cold here "
         "(within tunnel noise) and a near-instant boot on standard TPU hosts")
+    if args.skip_jit and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f).get("modes", {})
+        for k in ("jit_cold", "jit_warm_cache"):
+            if k in prev:
+                results[k] = prev[k]
+        if "jit_warm_cache" in results:
+            results["jit_warm_cache"]["note"] = warm_note
+        print("[cold-start] --skip_jit: kept jit rows from "
+              f"{os.path.basename(args.out)}", file=sys.stderr, flush=True)
+    else:
+        print("[cold-start] phase 1/5: cold jit ...", file=sys.stderr,
+              flush=True)
+        results["jit_cold"] = run_phase("jit")
+        flush()
+        print("[cold-start] phase 2/5: warm the persistent cache ...",
+              file=sys.stderr, flush=True)
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        run_phase("jit", {"GCD_JAX_CACHE": CACHE_DIR})  # populate
+        print("[cold-start] phase 3/5: cache-warm boot ...", file=sys.stderr,
+              flush=True)
+        results["jit_warm_cache"] = run_phase("jit",
+                                              {"GCD_JAX_CACHE": CACHE_DIR})
+        results["jit_warm_cache"]["note"] = warm_note
     flush()
     print("[cold-start] phase 4/5: export + AOT load ...", file=sys.stderr,
           flush=True)
