@@ -128,6 +128,20 @@ class DiffusionEngine:
         h, w = img_hw
         k_net, k_cond, k_vae = jax.random.split(key, 3)
         net = self.network
+        # The VAE downsamples 8x and the UNet a further 2^(levels-1); the
+        # up-path skip-concats require every level's extent to be even, so
+        # the frame resolution must be divisible by 8 * 2^(levels-1) (= 64
+        # for the full SVD UNet). The reference enforces the same constraint
+        # (gcd-model/scripts/test.py:309-310 "Input resolution must be a
+        # multiple of 64"); without this early check the failure surfaces as
+        # an opaque concatenate-shape error deep inside the up blocks.
+        div = 8 * (2 ** (len(net.channel_mult) - 1))
+        if h % div or w % div:
+            raise ValueError(
+                f"Frame resolution {h}x{w} must be a multiple of {div} "
+                f"(VAE 8x downsampling x UNet {len(net.channel_mult)} levels); "
+                f"the reference asserts the same (scripts/test.py: 'Input "
+                f"resolution must be a multiple of 64').")
         bt = t
         x = jnp.zeros((bt, h // 8, w // 8, net.in_channels))
         ts = jnp.zeros((bt,))

@@ -63,6 +63,8 @@ def export_sampler(engine, params, batch: Dict, key=None,
     """
     from jax import export as jexport
 
+    from gcd_tpu.ops.dispatch import kernel_flags, program_flag_overrides
+
     if key is None:
         key = jax.random.PRNGKey(0)
     arrays, static = _split_batch(batch)
@@ -76,8 +78,15 @@ def export_sampler(engine, params, batch: Dict, key=None,
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = list(platforms)
-    exp = jexport.export(jax.jit(fn), **kwargs)(sds(params), sds(arrays),
-                                                sds(key))
+    # Export bakes the traced program into the artifact, so the program-level
+    # kernel policy (PERF_BATCH batch-4 layout pathology) must be applied at
+    # trace time here — a batched artifact exported without it would ship the
+    # pathological program permanently.
+    frames = arrays.get("cond_frames", arrays.get("jpg"))
+    bt_extent = 2 * int(frames.shape[0]) if frames is not None else 0
+    with kernel_flags(**program_flag_overrides(bt_extent)):
+        exp = jexport.export(jax.jit(fn), **kwargs)(sds(params), sds(arrays),
+                                                    sds(key))
     return bytes(exp.serialize())
 
 

@@ -174,9 +174,24 @@ def make_engine_sample_fn(engine, params, max_batch: int, num_frames: int,
     caller later swaps checkpoints."""
     import functools
 
+    from gcd_tpu.ops.dispatch import kernel_flags, program_flag_overrides
+
+    # Program-level kernel policy for the server's fixed traced extent
+    # (max_batch clips x num_frames x2 CFG) — the PERF_BATCH batch-4 XLA
+    # layout pathology hits exactly this deployment mode (`serve.py
+    # --max_batch 4` => bt=112 => 1.06 f/s without the policy, 4.49 with).
+    # The flags are thread-local and matter only while jit traces, so wrap
+    # every call; post-trace calls are cache hits and the with-block is
+    # free. Same policy application as eval_utils.make_sampler.
+    overrides = program_flag_overrides(2 * max_batch * num_frames)
+
     @jax.jit
     def fn(p, batch: Dict, key):
         return engine.sample_video(p, batch, key, num_steps=num_steps,
                                    decoding_t=decoding_t)
 
-    return functools.partial(fn, params)
+    def call(p, batch, key):
+        with kernel_flags(**overrides):
+            return fn(p, batch, key)
+
+    return functools.partial(call, params)

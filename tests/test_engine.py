@@ -28,6 +28,14 @@ def engine_params(engine):
     return params, batch
 
 
+def test_init_rejects_illegal_resolution(engine):
+    """Frames must divide 8 * 2^(unet levels - 1) — the reference's
+    'resolution must be a multiple of 64' assert (gcd-model/scripts/
+    test.py:309-310), generalized to this tiny 2-level config (div=16)."""
+    with pytest.raises(ValueError, match="multiple of 16"):
+        engine.init_params(jax.random.PRNGKey(0), img_hw=(32, 40), t=T)
+
+
 def test_init_param_tree_structure(engine, engine_params):
     params, _ = engine_params
     assert set(params.keys()) == {"model", "conditioner", "first_stage"}

@@ -48,15 +48,15 @@ data:
     input_frames: 3
     output_frames: 3
     center_crop: true
-    frame_width: 48
-    frame_height: 32
+    frame_width: 64
+    frame_height: 64
     move_time: 2
     modal_time: 0
     mock_dset_size: 8
     data_gpu: 0
     spread_radius: 1
-    render_width: 52
-    render_height: 36
+    render_width: 72
+    render_height: 72
     batch_size: 1
     num_workers: 0
 """
@@ -83,10 +83,14 @@ def test_realweights_runbook(tmp_path, capsys):
     import scripts.test as test_mod
 
     ckpt = str(tmp_path / "synth_gcd.ckpt")
+    # 64x64 is the smallest geometry the full-size UNet accepts: frames must
+    # be a multiple of 64 (VAE 8x + 3 UNet downsamples; the reference asserts
+    # the same in gcd-model/scripts/test.py:309-310). engine.init_params now
+    # rejects illegal geometries early.
     make_synth.main([
         "--config_path", str(cfg_path), "--output", ckpt,
         "--dtype", "float16",
-        "--frame_height", "32", "--frame_width", "48", "--num_frames", "3",
+        "--frame_height", "64", "--frame_width", "64", "--num_frames", "3",
     ])
     assert os.path.getsize(ckpt) > 4e9, (
         "synthetic checkpoint is not at real byte-scale: "
@@ -96,7 +100,7 @@ def test_realweights_runbook(tmp_path, capsys):
     convert.main([
         "--config_path", str(cfg_path), "--model_path", ckpt,
         "--output", orbax_dir,
-        "--frame_height", "32", "--frame_width", "48", "--num_frames", "3",
+        "--frame_height", "64", "--frame_width", "64", "--num_frames", "3",
     ])
     out = capsys.readouterr().out
     # Strict report: every template leaf found in the checkpoint.
@@ -113,8 +117,8 @@ def test_realweights_runbook(tmp_path, capsys):
         "--num_samples", "1",
         "--num_steps", "2",
         "--num_frames", "3",
-        "--frame_width", "48",
-        "--frame_height", "32",
+        "--frame_width", "64",
+        "--frame_height", "64",
         "--decoding_t", "3",
         "--galleries", "rich1",
         "--output", out_dir,

@@ -145,3 +145,52 @@ def test_http_front_end(engine, setup):
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_program_policy_applied_at_server_trace(engine):
+    """The batch-4 layout policy (dispatch.program_flag_overrides) must reach
+    the server's jitted program: at max_batch=4 x 14 frames (CFG-doubled
+    extent 112, the measured PERF_BATCH pathology) the trace must see
+    gn_stats_pallas=True; at other extents it must see no override.
+    Probed by recording the thread-local flag at trace time."""
+    from gcd_tpu.ops import dispatch
+
+    seen = {}
+
+    class ProbeEngine:
+        def sample_video(self, p, batch, key, num_steps=None,
+                         decoding_t=None):
+            seen["flag"] = dispatch.kernel_setting("gn_stats_pallas")
+            return {"sampled_video": jnp.zeros((1,))}
+
+    fn = make_engine_sample_fn(ProbeEngine(), {}, max_batch=4, num_frames=14)
+    fn({}, jax.random.PRNGKey(0))
+    assert seen["flag"] is True, (
+        "server trace at bt=112 did not pick up gn_stats_pallas")
+
+    seen.clear()
+    fn = make_engine_sample_fn(ProbeEngine(), {}, max_batch=2, num_frames=3)
+    fn({}, jax.random.PRNGKey(0))
+    assert seen["flag"] is None
+
+
+def test_program_policy_applied_at_export_trace(engine):
+    """export_sampler must apply the same policy while tracing the artifact
+    (an exported batched program is baked permanently)."""
+    from gcd_tpu.engine import export as export_mod
+    from gcd_tpu.ops import dispatch
+
+    seen = {}
+
+    class ProbeEngine:
+        def sample_video(self, p, batch, key, num_steps=None,
+                         decoding_t=None):
+            seen["flag"] = dispatch.kernel_setting("gn_stats_pallas")
+            return {"sampled_video": jnp.zeros((1,))}
+
+    # 56 frame-rows => 4 clips x 14 frames => CFG-doubled extent 112.
+    batch = {"cond_frames": jnp.zeros((56, 8, 8, 3)),
+             "num_video_frames": 14}
+    export_mod.export_sampler(ProbeEngine(), {"w": jnp.zeros((1,))}, batch)
+    assert seen["flag"] is True, (
+        "export trace at bt=112 did not pick up gn_stats_pallas")
