@@ -69,6 +69,34 @@ def main(argv=None):
         params, np.random.default_rng(args.seed),
         dtype=dtype if dtype is not None else np.float32,
         ema_offset=0.001 if args.ema else None)
+
+    # Complete the key space against the independently-derived reference
+    # manifest (scripts/make_ref_key_manifest.py dumps state_dict().keys()
+    # from the reference's OWN torch modules). Real checkpoints carry keys
+    # our engine deliberately has no parameters for — e.g. the UNUSED
+    # decoder + post_quant_conv of conditioner.embedders.3's
+    # AutoencoderKLModeOnly (the reference builds both halves even though
+    # only encode runs) — and the converter must tolerate them as
+    # "unexpected". Adding them here makes the synthetic checkpoint's key
+    # space a faithful superset, not a mirror of our template.
+    manifest_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "_golden", "ref_key_manifest.json")
+    if os.path.exists(manifest_path):
+        import json
+
+        with open(manifest_path) as f:
+            manifest = json.load(f)["keys"]
+        vrng = np.random.default_rng(args.seed + 1)
+        added = 0
+        for key, shape in manifest.items():
+            if key not in sd:
+                base = np.float32 if dtype is None else dtype
+                sd[key] = (vrng.standard_normal(shape) * 0.02).astype(base) \
+                    if shape else np.asarray(0.0, base)
+                added += 1
+        print(f"manifest completion: +{added} reference-only keys "
+              f"(e.g. embedders.3 decoder) from {manifest_path}")
     tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
                for k, v in sd.items()}
     if args.dtype == "bfloat16":
