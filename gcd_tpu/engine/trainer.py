@@ -181,6 +181,18 @@ def make_jitted_train_step(engine: DiffusionEngine, opt, mesh=None,
     donate_args = (0,) if donate else ()
     cache = {}
 
+    # Resolve the flash-backward kernel probe with a clean standalone
+    # compile BEFORE the big grad trace: issued mid-trace through the
+    # remote compile helper it can fail spuriously, and the cached failure
+    # silently downgrades every grad program in this process to the
+    # XLA-recompute backward (found by the round-5 hardened numerics gate).
+    try:
+        from gcd_tpu.ops.flash_attention import resolve_probes
+
+        resolve_probes()
+    except Exception:
+        pass  # pure CPU runs without the kernel are fine
+
     def wrapper(state, batch, key):
         if "fn" not in cache:
             try:

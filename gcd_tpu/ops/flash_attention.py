@@ -335,9 +335,33 @@ def _bwd_available() -> bool:
             z = jnp.zeros((2, 256, 64), jnp.bfloat16)
             jax.jit(lambda a: _flash_bwd_rows(a, a, a, a, 0.125))(z)[0].block_until_ready()
             _BWD_PROBE_OK = True
-        except Exception:
+        except Exception as e:
+            # LOUD: a silently-cached False here once disabled the backward
+            # kernel for a whole bench process and made its numerics A/B
+            # vacuous (round-5 hardened gate finding). Callers that build
+            # large grad programs should call resolve_probes() OUTSIDE any
+            # trace first — a probe compile issued mid-trace through the
+            # remote compile helper is the flaky configuration.
+            print(f"[flash_attention] backward-kernel probe FAILED "
+                  f"({type(e).__name__}: {str(e)[:200]}) — grad programs "
+                  "fall back to XLA-recompute backward for this process")
             _BWD_PROBE_OK = False
     return _BWD_PROBE_OK
+
+
+def resolve_probes(force: bool = False) -> bool:
+    """Resolve the backward-kernel probe eagerly, OUTSIDE any trace.
+
+    Tracing a grad program triggers `_bwd_available()` from inside the
+    custom_vjp rule; issuing the probe's remote compile mid-trace is exactly
+    when the axon tunnel is most likely to reject it, and the failure is
+    then cached for the process lifetime. Call this first (bench kernel
+    check, trainer setup) so the cached verdict comes from a clean compile.
+    force=True re-probes after a failure (e.g. tunnel recovered)."""
+    global _BWD_PROBE_OK
+    if force:
+        _BWD_PROBE_OK = None
+    return _bwd_available()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
