@@ -97,7 +97,10 @@ def main(argv=None):
                 added += 1
         print(f"manifest completion: +{added} reference-only keys "
               f"(e.g. embedders.3 decoder) from {manifest_path}")
-    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+    # reshape(v.shape): np.ascontiguousarray promotes 0-d arrays to (1,),
+    # but the reference's LitEma decay/num_updates are 0-d scalars and the
+    # key manifest asserts exact shapes.
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v)).reshape(v.shape)
                for k, v in sd.items()}
     if args.dtype == "bfloat16":
         tensors = {k: (v.bfloat16() if v.is_floating_point() else v)

