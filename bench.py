@@ -446,6 +446,16 @@ def build_train_step():
         uparams = optax.apply_updates(uparams, updates)
         return uparams, opt_state, loss
 
+    # Resolve the flash-backward probe with a clean standalone compile
+    # before the big grad trace (see ops/flash_attention.resolve_probes —
+    # a mid-trace probe failure silently downgrades the whole grad program
+    # to the XLA-recompute backward).
+    from gcd_tpu.ops.flash_attention import resolve_probes
+
+    with kernel_flags(flash_bwd=True):
+        bwd_ok = resolve_probes()
+    log(f"flash backward kernel available: {bwd_ok}")
+
     jstep = jax.jit(step, donate_argnums=(0, 1))
 
     def flagged_step(uparams, opt_state, frames, cond_frames, key):

@@ -152,6 +152,24 @@ def put_host_tree(tree, shardings):
     return jax.tree_util.tree_map(per_leaf, tree, shardings)
 
 
+def gather_tree_to_host(tree, mesh: Mesh):
+    """Fetch a (possibly cross-process-sharded) pytree to host numpy on
+    EVERY process.
+
+    A COLLECTIVE: all processes must call it together. One jitted identity
+    program with fully-replicated out_shardings makes GSPMD emit the
+    all-gathers; the resulting arrays are fully addressable everywhere, so
+    np.asarray is a local read. Used by the multi-process ImageLogger path
+    (reference logs train samples on rank 0 under DDP, gcd-model/
+    main.py:323-555): after the gather, process 0 can run a process-LOCAL
+    sampling program without deadlocking the cluster on FSDP collectives.
+    """
+    repl = NamedSharding(mesh, P())
+    shardings = jax.tree_util.tree_map(lambda _: repl, tree)
+    full = jax.jit(lambda t: t, out_shardings=shardings)(tree)
+    return jax.tree_util.tree_map(lambda a: np.asarray(a), full)
+
+
 def local_process_rows(global_rows: int) -> Tuple[int, int]:
     """[start, stop) of the global leading axis owned by this process under
     the contiguous process-major device order produced by create_mesh over

@@ -202,13 +202,12 @@ def main(argv=None):
         k: v for k, v in img_logger_cfg.items()
         if k in ("batch_frequency", "max_images", "disabled", "log_first_step")
     })
-    if nproc > 1 and not image_logger.disabled:
-        # Sampling from FSDP-sharded params is a cross-process collective
-        # program; running it only on process 0 would deadlock the cluster.
-        # Multi-host image logging needs an all-process log call with
-        # process-0-only writes — not wired yet, so disable it loudly.
-        mprint("image logging disabled for multi-process runs")
-        image_logger.disabled = True
+    # Multi-process image logging (reference: rank-0 ImageLogger under DDP,
+    # gcd-model/main.py:323-555): sampling straight from the FSDP-sharded
+    # params on process 0 alone would deadlock the cluster on collectives,
+    # so at log steps ALL processes gather the params to host
+    # (distributed.gather_tree_to_host, a collective) and process 0 runs a
+    # process-local sampling program over the gathered copy.
     # WandbLogger when requested + importable, CSV fallback (main.py:760-801).
     # Metrics are identical on every process (replicated outputs): process 0
     # is the only writer.
@@ -344,9 +343,20 @@ def main(argv=None):
 
                 if image_logger.should_log(global_step):
                     try:
-                        image_logger.log(
-                            engine, state.params, batch_np, global_step,
-                            jax.random.fold_in(key, 2**30 + global_step))
+                        log_key = jax.random.fold_in(key, 2**30 + global_step)
+                        if nproc > 1:
+                            # Collective on every process; write on 0 only.
+                            host_params = distributed.gather_tree_to_host(
+                                state.params, mesh)
+                            if is_main_proc:
+                                image_logger.log(engine, host_params,
+                                                 batch_np, global_step,
+                                                 log_key)
+                                print(f"image log written at step "
+                                      f"{global_step} (process 0)")
+                        else:
+                            image_logger.log(engine, state.params, batch_np,
+                                             global_step, log_key)
                     except Exception as e:
                         print(f"image logging failed: {e}")
 

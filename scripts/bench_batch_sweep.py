@@ -22,10 +22,11 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_one(batch: int, budget_s: int) -> dict:
+def run_one(batch: int, budget_s: int, extra_env: dict | None = None) -> dict:
     env = dict(os.environ)
     env["GCD_BENCH_BATCH"] = str(batch)
     env["GCD_BENCH_BUDGET_S"] = str(budget_s)
+    env.update(extra_env or {})
     t0 = time.time()
     r = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],

@@ -163,9 +163,15 @@ def run_phase(phase: str, env_extra=None, timeout_s: int = 1500):
         print(r.stderr[-1500:], file=sys.stderr)
     for line in reversed((r.stdout or "").strip().splitlines()):
         try:
-            return json.loads(line)
+            d = json.loads(line)
         except (json.JSONDecodeError, ValueError):
             continue
+        # Per-row provenance (ADVICE r4): rows in one artifact can come
+        # from different sessions (--skip_jit keeps old jit rows), so each
+        # carries its own measurement time.
+        if isinstance(d, dict):
+            d["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        return d
     return {"error": f"phase {phase} failed rc={r.returncode}",
             "stderr_tail": (r.stderr or "")[-400:]}
 
@@ -241,7 +247,9 @@ def main() -> None:
         results["aot_load"]["note"] = (
             "param_init_s is EXCLUDED from time_to_first_clip_s here "
             "(random-weight materialization stands in for the checkpoint "
-            "store); the 'serving_restore' row measures the real boot")
+            "store; it is tunnel-load-bound and varies run to run — "
+            "458.7/533.6/638.6 s across rounds, see measured_at); the "
+            "'serving_restore' row measures the real boot")
         flush()
         print("[cold-start] phase 5/5: orbax save + restore boot ...",
               file=sys.stderr, flush=True)

@@ -112,42 +112,81 @@ def main() -> None:
               f"{steps[-1]*1e3:.0f} ms = {totals[-1]*1e3:.0f} ms",
               file=sys.stderr, flush=True)
 
+    # Warm-up exclusion (ADVICE r4): the first `prefetch` steps drain the
+    # buffer the loader filled during compile, so their stalls (~100 ms) are
+    # not steady state; medians over the mixed list understated the stall.
+    skip = min(args.prefetch + 1, max(0, args.steps - 3))
+    s_stalls, s_steps, s_totals = stalls[skip:], steps[skip:], totals[skip:]
+
+    # Quiesced-device control (VERDICT r4 weak #4): re-time the identical
+    # device step while the loader worker is BLOCKED (prefetch buffer full),
+    # reusing the last device-resident batch — no loader CPU activity, no
+    # H2D in the window. The delta vs the live device_step number is the
+    # host-contention inflation on this 1-core host (the synthetic
+    # PERF_TRAIN bench measures ~383 ms for the same program).
+    time.sleep(max(15.0, 2.5 * (sorted(s_stalls)[len(s_stalls) // 2]
+                                if s_stalls else 5.0)))
+    quiesced = []
+    for i in range(3):
+        t0 = time.time()
+        uparams, opt_state, loss = jstep(
+            uparams, opt_state, frames, cond,
+            jax.random.fold_in(key, 1000 + i))
+        jax.block_until_ready(loss)
+        quiesced.append(time.time() - t0)
+    print(f"[train-e2e] quiesced device steps: "
+          f"{['%.0f' % (t*1e3) for t in quiesced]} ms", file=sys.stderr)
+
     med = lambda xs: sorted(xs)[len(xs) // 2]
-    device_ms = med(steps) * 1e3
-    total_ms = med(totals) * 1e3
-    stall_frac = max(0.0, 1.0 - device_ms / total_ms)
+    device_ms = med(s_steps) * 1e3
+    total_ms = med(s_totals) * 1e3
+    # Paired fraction (ADVICE r4): ratio of sums over the SAME steady steps,
+    # not a ratio of unpaired medians.
+    stall_frac = max(0.0, 1.0 - sum(s_steps) / max(sum(s_totals), 1e-9))
     # One worker renders a clip in ~(stall + device) when fully starved;
     # break-even workers = clip render time / device step time.
-    clip_s = med(stalls) + 0.0  # stall at this worker count
+    quiesced_ms = med(quiesced) * 1e3
     sec_per_clip_1core = None
     perf_input = os.path.join(ROOT, "PERF_INPUT.json")
     if os.path.exists(perf_input):
         with open(perf_input) as f:
             sec_per_clip_1core = float(json.load(f)["sec_per_clip_per_core"])
-    breakeven = (sec_per_clip_1core / (device_ms / 1e3)
+    # Break-even uses the QUIESCED device step: on a production host with
+    # enough cores, loader workers do not starve the dispatch thread, so
+    # the chip-side step is the quiesced one.
+    breakeven = (sec_per_clip_1core / (quiesced_ms / 1e3)
                  if sec_per_clip_1core else None)
 
     result = {
         "metric": ("train step with LIVE PrefetchLoader input, production-"
                    "scale renders (2.16M pts/frame), flagship 1.5B step"),
         "steps_timed": args.steps,
+        "warmup_steps_excluded": skip,
         "workers": args.workers,
         "prefetch": args.prefetch,
         "device_step_ms_p50": round(device_ms, 1),
+        "device_step_quiesced_ms_p50": round(quiesced_ms, 1),
         "total_step_ms_p50": round(total_ms, 1),
-        "stall_ms_p50": round(med(stalls) * 1e3, 1),
+        "stall_ms_p50": round(med(s_stalls) * 1e3, 1),
         "stall_fraction": round(stall_frac, 3),
         "per_step_ms": [round(t * 1e3, 1) for t in totals],
         "per_step_stall_ms": [round(t * 1e3, 1) for t in stalls],
+        "per_step_device_ms": [round(t * 1e3, 1) for t in steps],
+        "quiesced_device_ms": [round(t * 1e3, 1) for t in quiesced],
         "sec_per_clip_per_core_ref": sec_per_clip_1core,
         "breakeven_workers_per_chip": (round(breakeven, 1)
                                        if breakeven else None),
         "chip": jax.devices()[0].device_kind,
         "host_cores": os.cpu_count(),
-        "note": ("clip_s " + f"{clip_s:.2f}" + "s observed stall at "
-                 f"{args.workers} worker(s) on a {os.cpu_count()}-core host; "
-                 "production v5e hosts expose tens of vCPUs per chip, so the "
-                 "break-even worker count is the deployment requirement"),
+        "note": ("steady-state medians exclude the first "
+                 f"{skip} buffer-drain steps; device_step vs "
+                 "device_step_quiesced isolates 1-core host contention "
+                 "(loader worker rendering during the step's dispatch/"
+                 "block window) from true chip time — PERF_TRAIN.json's "
+                 "synthetic-input step is the no-loader reference; "
+                 "production v5e hosts expose tens of vCPUs per chip, so "
+                 "the break-even worker count is the deployment "
+                 "requirement"),
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

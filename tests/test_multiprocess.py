@@ -29,9 +29,12 @@ pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Global batch must divide the 4-device mesh for batch-axis sharding; image
-# logging is disabled because the multi-process path disables it (sampling is
-# a cross-process collective) and the comparison must run the same step work.
+# Global batch must divide the 4-device mesh for batch-axis sharding. Image
+# logging is ON (batch_frequency=2 -> one log at step 2): the multi-process
+# path gathers params to host on every process and samples on process 0 only
+# (main.py; reference rank-0 ImageLogger, gcd-model/main.py:323-555); the
+# single-process reference run logs identically, so the step math compared
+# below is the same.
 OVERLAY = """\
 data:
   params:
@@ -40,7 +43,10 @@ lightning:
   callbacks:
     image_logger:
       params:
-        disabled: true
+        disabled: false
+        batch_frequency: 2
+        max_images: 1
+        log_first_step: false
 """
 
 
@@ -131,6 +137,15 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     # Process-0-only writers: one metrics.csv, one config snapshot.
     assert len(glob.glob(os.path.join(logdir, "configs", "*.yaml"))) == 1
     assert os.path.exists(os.path.join(logdir, "metrics.csv"))
+
+    # Image logging under multi-process: process 0 gathered the params and
+    # wrote media; process 1 wrote nothing (both processes share one
+    # filesystem here, so writer identity is asserted via the marker line).
+    assert "image log written at step 2 (process 0)" in outs[0]
+    assert "image log written" not in outs[1]
+    media = glob.glob(os.path.join(logdir, "images", "train", "*_sample.mp4"))
+    assert media, "process 0 did not write the sampled mp4"
+    assert glob.glob(os.path.join(logdir, "images", "train", "*_strip.png"))
 
     # Multi-host orbax checkpoint landed (final save at step 3).
     assert glob.glob(os.path.join(logdir, "checkpoints", "step_3"))
