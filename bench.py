@@ -168,8 +168,17 @@ def build_sampler_fn(batch: int = 1):
         }
         noise = jax.random.normal(key, (b * T, HL, WL, 4), dtype=jnp.float32)
         z = sampler(denoise_fn, noise, cond, uc, key=key)
-        frames = decoder.apply(dparams, (z / 0.18215).astype(jnp.bfloat16),
-                               timesteps=T)
+        # GCD_DECODE_GN_STATS=1: A/B knob scoping the Pallas GN-stats kernel
+        # to the DECODE leg only (kernel_flags is a trace-time context, so
+        # the sampling scan above keeps the default lowering). The global
+        # flip lost e2e in round 2 (4.78 vs 5.10); the decode leg's layout
+        # behavior is different, so it gets its own measurement.
+        from gcd_tpu.ops.dispatch import kernel_flags as _kf
+        dec_gn = os.environ.get("GCD_DECODE_GN_STATS")
+        with _kf(**({"gn_stats_pallas": dec_gn == "1"} if dec_gn else {})):
+            frames = decoder.apply(dparams,
+                                   (z / 0.18215).astype(jnp.bfloat16),
+                                   timesteps=T)
         return frames.astype(jnp.float32)
 
     # Program-level kernel policy for this (CFG-doubled) batch extent —

@@ -46,6 +46,9 @@ Flag -> env var -> meaning:
                                   MXU contraction inside the flash forward
                                   (block-diagonal zero-packed K/V;
                                   ops/flash_attention.py _mh_kernel)
+  tattn_pack2   GCD_TATTN_PACK2   the same head-pair packing inside the
+                                  temporal-attention kernel's per-pack
+                                  matmuls (ops/temporal_attention.py)
 """
 
 from __future__ import annotations
@@ -71,6 +74,9 @@ _DEFAULTS = {
     # pack2 5.354 f/s (clips 2.61-2.63 s) vs default 5.334 f/s (2.62-2.64 s)
     # -> +0.4%, every iteration faster; numerics A/B in the bench gate.
     "flash_pack2": True,
+    # e2e A/B on v5e (round 5): ON 5.405 f/s (clips 2.59-2.62 s) vs OFF
+    # 5.352 (2.62-2.63) -> +1.0%, every iteration faster.
+    "tattn_pack2": True,
 }
 
 _ENV = {
@@ -87,6 +93,7 @@ _ENV = {
     "sconv_matmul": "GCD_SCONV_MATMUL",
     "subpix_upsample": "GCD_SUBPIX_UP",
     "flash_pack2": "GCD_FLASH_PACK2",
+    "tattn_pack2": "GCD_TATTN_PACK2",
 }
 
 _tls = threading.local()

@@ -71,7 +71,9 @@ def _mh_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int,
     v = v_ref[0]
     s_pad = k.shape[0]
     outs = []
-    if pack2 and heads % 2 == 0 and 2 * d <= 128:
+    if pack2 and heads >= 2 and 2 * d <= 128:
+        # Odd head counts (C=320 -> 5 heads at d=64, the largest-S level)
+        # pack floor(H/2) pairs and run the leftover head at natural depth.
         for hp in range(heads // 2):
             c0 = 2 * hp * d
             q2 = q[:, c0:c0 + 2 * d]  # adjacent heads are contiguous
@@ -97,6 +99,16 @@ def _mh_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int,
             )  # (BQ, 2D) = [o_h1 | o_h2]
             outs.append(jnp.concatenate(
                 [o2[:, :d] / den1, o2[:, d:] / den2], axis=-1))
+        if heads % 2:
+            h0 = (heads - 1) * d
+            qh, kh, vh = q[:, h0:], k[:, h0:], v[:, h0:]
+            logits = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            p, denom = _softmax_rows(logits, kv_len)
+            outs.append(jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) / denom)
     else:
         for h in range(heads):
             qh = q[:, h * d:(h + 1) * d]

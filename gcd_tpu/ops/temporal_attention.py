@@ -45,11 +45,16 @@ _PACK = 8
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, d: int,
-            t: int, scale: float):
+            t: int, scale: float, pack2: bool = False):
     """Pack-outer loop: one (T*8, C) slab per pack, per-head lane slices on
     the 2D slab, heads re-concatenated so every o_ref store is a full-lane
     (T, 8, C) write (no read-modify-write lane masking). Measured faster than
-    a head-outer loop with per-head strided stores (5.02 vs 4.98 f/s e2e)."""
+    a head-outer loop with per-head strided stores (5.02 vs 4.98 f/s e2e).
+
+    pack2: the flash-kernel head-pair packing (ops/flash_attention.py
+    _mh_kernel) applied to the per-pack matmuls — block-diagonal zero-packed
+    K/V turn two 64-deep contractions into one 128-deep one; odd head counts
+    (C=320 -> 5) run the leftover head at natural depth."""
     bs = q_ref.shape[1]
     c = q_ref.shape[2]
     packs = bs // _PACK
@@ -57,24 +62,64 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, d: int,
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
     mask = (row % _PACK) == (col % _PACK)
+
+    def one_head(qg, kg, vg, hs):
+        lg = jax.lax.dot_general(
+            qg[:, hs], kg[:, hs], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        lg = jnp.where(mask, lg, NEG_INF)
+        m = jnp.max(lg, -1, keepdims=True)
+        p = jnp.exp(lg - m)
+        denom = jnp.sum(p, -1, keepdims=True)
+        return jax.lax.dot_general(
+            p.astype(vg.dtype), vg[:, hs], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / denom
+
+    def head_pair(qg, kg, vg, hp):
+        c0 = 2 * hp * d
+        q2 = qg[:, c0:c0 + 2 * d]  # (R, 2D); adjacent heads contiguous
+        kh1, kh2 = kg[:, c0:c0 + d], kg[:, c0 + d:c0 + 2 * d]
+        vh1, vh2 = vg[:, c0:c0 + d], vg[:, c0 + d:c0 + 2 * d]
+        zero = jnp.zeros_like(kh1)
+        k2 = jnp.concatenate(
+            [jnp.concatenate([kh1, zero], axis=-1),
+             jnp.concatenate([zero, kh2], axis=-1)], axis=0)  # (2R, 2D)
+        v2 = jnp.concatenate(
+            [jnp.concatenate([vh1, zero], axis=-1),
+             jnp.concatenate([zero, vh2], axis=-1)], axis=0)
+        lg = jax.lax.dot_general(
+            q2, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (R, 2R)=[L1|L2]
+        l1 = jnp.where(mask, lg[:, :rows], NEG_INF)
+        l2 = jnp.where(mask, lg[:, rows:], NEG_INF)
+        m1 = jnp.max(l1, -1, keepdims=True)
+        p1 = jnp.exp(l1 - m1)
+        den1 = jnp.sum(p1, -1, keepdims=True)
+        m2 = jnp.max(l2, -1, keepdims=True)
+        p2 = jnp.exp(l2 - m2)
+        den2 = jnp.sum(p2, -1, keepdims=True)
+        o2 = jax.lax.dot_general(
+            jnp.concatenate([p1, p2], axis=-1).astype(v2.dtype), v2,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (R, 2D) = [o1|o2]
+        return jnp.concatenate([o2[:, :d] / den1, o2[:, d:] / den2], axis=-1)
+
     for g in range(packs):
         sl = slice(g * _PACK, (g + 1) * _PACK)
         qg = q_ref[:, sl, :].reshape(rows, c)
         kg = k_ref[:, sl, :].reshape(rows, c)
         vg = v_ref[:, sl, :].reshape(rows, c)
         outs = []
-        for h in range(heads):
-            hs = slice(h * d, (h + 1) * d)
-            lg = jax.lax.dot_general(
-                qg[:, hs], kg[:, hs], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            lg = jnp.where(mask, lg, NEG_INF)
-            m = jnp.max(lg, -1, keepdims=True)
-            p = jnp.exp(lg - m)
-            denom = jnp.sum(p, -1, keepdims=True)
-            outs.append(jax.lax.dot_general(
-                p.astype(vg.dtype), vg[:, hs], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) / denom)
+        if pack2 and heads >= 2 and 2 * d <= 128:
+            for hp in range(heads // 2):
+                outs.append(head_pair(qg, kg, vg, hp))
+            if heads % 2:
+                outs.append(one_head(qg, kg, vg,
+                                     slice((heads - 1) * d, heads * d)))
+        else:
+            for h in range(heads):
+                outs.append(one_head(qg, kg, vg,
+                                     slice(h * d, (h + 1) * d)))
         og = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
         o_ref[:, sl, :] = og.reshape(t, _PACK, c)
 
@@ -105,11 +150,14 @@ def _pallas_fwd(q3, k3, v3, t: int, heads: int, scale: float):
     bt, s, c = q3.shape
     b = bt // t
     d = c // heads
+    from gcd_tpu.ops.dispatch import kernel_enabled
+
     bs = _pick_block_s(s, t, c, q3.dtype.itemsize)
     spec = pl.BlockSpec((t, bs, c), lambda bi, si: (bi, si, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, heads=heads, d=d, t=t, scale=scale),
+        functools.partial(_kernel, heads=heads, d=d, t=t, scale=scale,
+                          pack2=kernel_enabled("tattn_pack2")),
         grid=(b, s // bs),
         in_specs=[spec] * 3,
         out_specs=spec,

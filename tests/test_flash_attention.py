@@ -105,3 +105,29 @@ def test_single_key_context_shortcut_exact():
     ref = v @ p["to_out_0"]["kernel"] + p["to_out_0"]["bias"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_forward_pack2_odd_heads_matches_xla():
+    """pack2 with an odd head count (C=320 -> 5 heads at d=64): floor(H/2)
+    packed pairs + a leftover natural-depth head."""
+    from gcd_tpu.ops.dispatch import kernel_flags
+
+    shape, heads = (2, 256, 320), 5
+    key = jax.random.PRNGKey(11)
+    q = jax.random.normal(key, shape, jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), shape, jnp.float32)
+    d = shape[-1] // heads
+    scale = float(d**-0.5)
+
+    import functools
+    from unittest import mock
+
+    orig = fa.pl.pallas_call
+    with mock.patch.object(fa.pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        with kernel_flags(flash_pack2=True):
+            out = fa._flash_fwd(q, k, v, scale, heads)
+    ref = _xla(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -81,3 +81,21 @@ def test_entry_point_and_grads():
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
+
+def test_pallas_kernel_pack2_matches_xla():
+    """Head-pair packed per-pack matmuls (tattn_pack2) must match the XLA
+    formulation exactly, including the odd-head leftover path (5 heads)."""
+    from gcd_tpu.ops.dispatch import kernel_flags
+
+    for kwargs, t, heads in [
+        (dict(b=2, t=4, s=16, c=128, heads=2, seed=2), 4, 2),
+        (dict(b=1, t=14, s=24, c=320, heads=5, seed=3), 14, 5),
+    ]:
+        q, k, v = _make(**kwargs)
+        scale = (kwargs["c"] // heads) ** -0.5
+        with pltpu.force_tpu_interpret_mode():
+            with kernel_flags(tattn_pack2=True):
+                got = _pallas_fwd(q, k, v, t, heads, scale)
+        want = _xla_temporal(q, k, v, t, heads, scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
