@@ -127,16 +127,16 @@ def build_sampler_fn(batch: int = 1):
 
     ioi2 = jnp.zeros((2 * b, T))
 
-    # Optional XLA compiler-option overrides, e.g.
+    # Measured-good default compiler options + GCD_XLA_OPTS overrides, e.g.
     #   GCD_XLA_OPTS="xla_tpu_scoped_vmem_limit_kib=65536,..." python bench.py
     # (client-side XLA_FLAGS are rejected by the axon tunnel build; per-jit
     # compiler_options are forwarded to the remote compiler and do apply).
     import functools
 
-    opts = None
-    if os.environ.get("GCD_XLA_OPTS"):
-        opts = dict(kv.split("=", 1)
-                    for kv in os.environ["GCD_XLA_OPTS"].split(","))
+    from gcd_tpu.ops.dispatch import default_compiler_options
+
+    opts = default_compiler_options()
+    if opts:
         log(f"compiler_options: {opts}")
 
     @functools.partial(jax.jit, compiler_options=opts)

@@ -174,7 +174,8 @@ def make_engine_sample_fn(engine, params, max_batch: int, num_frames: int,
     caller later swaps checkpoints."""
     import functools
 
-    from gcd_tpu.ops.dispatch import kernel_flags, program_flag_overrides
+    from gcd_tpu.ops.dispatch import (default_compiler_options, kernel_flags,
+                                      program_flag_overrides)
 
     # Program-level kernel policy for the server's fixed traced extent
     # (max_batch clips x num_frames x2 CFG) — the PERF_BATCH batch-4 XLA
@@ -185,7 +186,7 @@ def make_engine_sample_fn(engine, params, max_batch: int, num_frames: int,
     # free. Same policy application as eval_utils.make_sampler.
     overrides = program_flag_overrides(2 * max_batch * num_frames)
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=default_compiler_options())
     def fn(p, batch: Dict, key):
         return engine.sample_video(p, batch, key, num_steps=num_steps,
                                    decoding_t=decoding_t)

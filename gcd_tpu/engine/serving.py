@@ -37,9 +37,12 @@ def make_sharded_sampler(engine, mesh, num_steps: Optional[int] = None,
     latents when requested (the latent-PCA gallery needs them; they are tiny
     next to the decoded frames, so replication costs nothing measurable).
     """
+    from gcd_tpu.ops.dispatch import default_compiler_options
+
     replicate = NamedSharding(mesh, P())
 
-    @functools.partial(jax.jit, out_shardings=replicate)
+    @functools.partial(jax.jit, out_shardings=replicate,
+                       compiler_options=default_compiler_options())
     def _sample(params, batch: Dict, key):
         return engine.sample_video(params, batch, key, num_steps=num_steps,
                                    decoding_t=decoding_t,

@@ -126,6 +126,36 @@ def kernel_setting(name: str):
     return None
 
 
+def default_compiler_options(extra: dict | None = None):
+    """Measured-good XLA compiler options for the big jitted INFERENCE
+    programs (bench clip, serving server, sharded sampler).
+
+    v5e e2e A/B (round 5, 5-clip runs, INVENTORY attack log):
+    `xla_tpu_use_bundle_aware_cost_model_for_fusions=true` 5.515 vs 5.405
+    f/s (+2%, every clip faster); neutral/lost candidates logged. Applied
+    only on the TPU backend — XLA:CPU rejects unknown TPU flags, and the
+    CPU test suite must keep compiling. GCD_XLA_OPTS merges ON TOP (user
+    wins per key); GCD_DEFAULT_XLA_OPTS=0 kill-switches the defaults.
+    Training programs are NOT wired here until the grad-program A/B is
+    measured (see engine/trainer.py).
+
+    Returns a dict for `jax.jit(compiler_options=...)`, or None off-TPU.
+    """
+    from gcd_tpu.ops.attention import _is_tpu_backend
+
+    if not _is_tpu_backend():
+        return None
+    opts = {}
+    if os.environ.get("GCD_DEFAULT_XLA_OPTS", "1") != "0":
+        opts["xla_tpu_use_bundle_aware_cost_model_for_fusions"] = "true"
+    if os.environ.get("GCD_XLA_OPTS"):
+        opts.update(kv.split("=", 1)
+                    for kv in os.environ["GCD_XLA_OPTS"].split(","))
+    if extra:
+        opts.update(extra)
+    return opts or None
+
+
 def program_flag_overrides(batch_time_extent: int) -> dict:
     """Measured program-level kernel policy for a sampling/serving program
     whose flattened CFG-doubled batch-time extent is `batch_time_extent`.
