@@ -135,7 +135,7 @@ def build_sampler_fn(batch: int = 1):
 
     from gcd_tpu.ops.dispatch import default_compiler_options
 
-    opts = default_compiler_options()
+    opts = default_compiler_options(bt)
     if opts:
         log(f"compiler_options: {opts}")
 
@@ -187,7 +187,7 @@ def build_sampler_fn(batch: int = 1):
     # trace happens inside the thread-local context.
     from gcd_tpu.ops.dispatch import kernel_flags, program_flag_overrides
 
-    overrides = program_flag_overrides(bt)
+    overrides = program_flag_overrides(bt, opts)
     if overrides:
         log(f"program kernel overrides for bt={bt}: {overrides}")
 

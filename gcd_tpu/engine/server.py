@@ -184,9 +184,11 @@ def make_engine_sample_fn(engine, params, max_batch: int, num_frames: int,
     # The flags are thread-local and matter only while jit traces, so wrap
     # every call; post-trace calls are cache hits and the with-block is
     # free. Same policy application as eval_utils.make_sampler.
-    overrides = program_flag_overrides(2 * max_batch * num_frames)
+    bt_extent = 2 * max_batch * num_frames
+    copts = default_compiler_options(bt_extent)
+    overrides = program_flag_overrides(bt_extent, copts)
 
-    @functools.partial(jax.jit, compiler_options=default_compiler_options())
+    @functools.partial(jax.jit, compiler_options=copts)
     def fn(p, batch: Dict, key):
         return engine.sample_video(p, batch, key, num_steps=num_steps,
                                    decoding_t=decoding_t)

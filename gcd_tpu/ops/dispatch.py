@@ -126,18 +126,28 @@ def kernel_setting(name: str):
     return None
 
 
-def default_compiler_options(extra: dict | None = None):
+_BUNDLE_FLAG = "xla_tpu_use_bundle_aware_cost_model_for_fusions"
+
+
+def default_compiler_options(bt_extent: int | None = None,
+                             extra: dict | None = None):
     """Measured-good XLA compiler options for the big jitted INFERENCE
     programs (bench clip, serving server, sharded sampler).
 
-    v5e e2e A/B (round 5, 5-clip runs, INVENTORY attack log):
-    `xla_tpu_use_bundle_aware_cost_model_for_fusions=true` 5.515 vs 5.405
-    f/s (+2%, every clip faster); neutral/lost candidates logged. Applied
-    only on the TPU backend — XLA:CPU rejects unknown TPU flags, and the
-    CPU test suite must keep compiling. GCD_XLA_OPTS merges ON TOP (user
-    wins per key); GCD_DEFAULT_XLA_OPTS=0 kill-switches the defaults.
-    Training programs are NOT wired here until the grad-program A/B is
-    measured (see engine/trainer.py).
+    v5e e2e A/B (round 5, 5-clip runs, INVENTORY attack log + PERF_BATCH
+    v2): `xla_tpu_use_bundle_aware_cost_model_for_fusions=true` 5.515 vs
+    5.405 f/s at batch 1 (+2%, every clip faster), 5.293 at extent 56,
+    4.84 at extent 112 (where it also dissolves the round-4 layout
+    pathology: 1.06 -> 4.84 with no Pallas-stats patch needed) — but at
+    extent 224 (8 clips) its fusion strategy OVERFLOWS HBM by ~315 MB
+    (16.06 G used of 15.75, 2x reproduced incl. the gn_stats variant), so
+    the flag is dropped there (4.871 f/s without it, the measured best).
+    `bt_extent` is the program's CFG-doubled batch-time extent; pass None
+    when unknown/small (e.g. the sharded sampler, whose per-chip slice is
+    extent/n_chips). Applied only on the TPU backend — XLA:CPU rejects TPU
+    flags. GCD_XLA_OPTS merges ON TOP (user wins per key);
+    GCD_DEFAULT_XLA_OPTS=0 kill-switches the defaults. Training programs
+    are NOT wired here until the grad-program A/B is measured.
 
     Returns a dict for `jax.jit(compiler_options=...)`, or None off-TPU.
     """
@@ -146,8 +156,9 @@ def default_compiler_options(extra: dict | None = None):
     if not _is_tpu_backend():
         return None
     opts = {}
-    if os.environ.get("GCD_DEFAULT_XLA_OPTS", "1") != "0":
-        opts["xla_tpu_use_bundle_aware_cost_model_for_fusions"] = "true"
+    if (os.environ.get("GCD_DEFAULT_XLA_OPTS", "1") != "0"
+            and not (bt_extent is not None and bt_extent >= 224)):
+        opts[_BUNDLE_FLAG] = "true"
     if os.environ.get("GCD_XLA_OPTS"):
         opts.update(kv.split("=", 1)
                     for kv in os.environ["GCD_XLA_OPTS"].split(","))
@@ -156,7 +167,8 @@ def default_compiler_options(extra: dict | None = None):
     return opts or None
 
 
-def program_flag_overrides(batch_time_extent: int) -> dict:
+def program_flag_overrides(batch_time_extent: int,
+                           compiler_options: dict | None = None) -> dict:
     """Measured program-level kernel policy for a sampling/serving program
     whose flattened CFG-doubled batch-time extent is `batch_time_extent`.
 
@@ -169,12 +181,24 @@ def program_flag_overrides(batch_time_extent: int) -> dict:
     kernel (gn_stats_pallas) forces sane layouts: 1.065 -> 4.49
     frames/s/chip measured e2e. Site-scoped variants of the fix were
     rejected (see ops/fused_norm.py); only the whole-program flip is
-    measured-good. Callers wrap their jitted program's first (tracing)
-    call in `kernel_flags(**program_flag_overrides(bt))`; an explicit
+    measured-good.
+
+    Round-5 refinement (PERF_BATCH v2 sweep): when the program compiles
+    with the bundle-aware fusion cost model (default_compiler_options),
+    the extent-112 pathology does not occur and the Pallas-stats patch
+    only costs (4.84 without vs 4.58 with) — so the patch applies ONLY to
+    programs compiled WITHOUT that option (`compiler_options=None`, e.g.
+    the eager per-op eval path and deserialized AOT artifacts, whose
+    load-side compile takes backend defaults).
+
+    Callers wrap their jitted program's first (tracing) call in
+    `kernel_flags(**program_flag_overrides(bt, opts))`; an explicit
     GCD_GN_STATS env var still takes precedence over the thread-local
     flag either way.
     """
-    if batch_time_extent == 112:
+    bundle = bool(compiler_options
+                  and compiler_options.get(_BUNDLE_FLAG) == "true")
+    if batch_time_extent == 112 and not bundle:
         return {"gn_stats_pallas": True}
     return {}
 

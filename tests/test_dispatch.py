@@ -78,3 +78,50 @@ def test_no_env_leak_from_trainer_path():
     assert os.environ.get("GCD_TATTN_PALLAS") is None
     with kernel_flags(tattn_pallas=False):
         assert os.environ.get("GCD_TATTN_PALLAS") is None
+
+
+def test_program_policy_bundle_refinement():
+    """PERF_BATCH v2 (round 5): the extent-112 Pallas-stats patch applies
+    ONLY to programs compiled without the bundle-aware fusion cost model;
+    with the bundle option the pathology does not form and the patch costs
+    (4.84 vs 4.58 f/s measured)."""
+    from gcd_tpu.ops import dispatch
+
+    bundle = {dispatch._BUNDLE_FLAG: "true"}
+    assert dispatch.program_flag_overrides(112, bundle) == {}
+    assert dispatch.program_flag_overrides(112, None) == {
+        "gn_stats_pallas": True}
+    assert dispatch.program_flag_overrides(112) == {"gn_stats_pallas": True}
+    assert dispatch.program_flag_overrides(56, bundle) == {}
+    assert dispatch.program_flag_overrides(224, bundle) == {}
+
+
+def test_default_compiler_options_extent_rule():
+    """The bundle flag ships for extents < 224 and is dropped at >= 224
+    (measured HBM compile-OOM, PERF_BATCH v2 bundle_oom_224); GCD_XLA_OPTS
+    merges on top; off-TPU the helper returns None."""
+    from unittest import mock
+
+    from gcd_tpu.ops import attention, dispatch
+
+    # This suite runs on CPU: the real backend check must say None.
+    assert dispatch.default_compiler_options(112) is None
+
+    with mock.patch.object(attention, "_is_tpu_backend", lambda: True):
+        with mock.patch.dict(os.environ, {}, clear=False):
+            os.environ.pop("GCD_XLA_OPTS", None)
+            os.environ.pop("GCD_DEFAULT_XLA_OPTS", None)
+            o = dispatch.default_compiler_options(112)
+            assert o[dispatch._BUNDLE_FLAG] == "true"
+            o224 = dispatch.default_compiler_options(224) or {}
+            assert dispatch._BUNDLE_FLAG not in o224
+            assert dispatch._BUNDLE_FLAG in dispatch.default_compiler_options()
+            os.environ["GCD_DEFAULT_XLA_OPTS"] = "0"
+            assert dispatch.default_compiler_options(112) is None
+            del os.environ["GCD_DEFAULT_XLA_OPTS"]
+            os.environ["GCD_XLA_OPTS"] = (
+                dispatch._BUNDLE_FLAG + "=false,xla_tpu_rwb_fusion=false")
+            o = dispatch.default_compiler_options(112)
+            assert o[dispatch._BUNDLE_FLAG] == "false"  # user wins
+            assert o["xla_tpu_rwb_fusion"] == "false"
+            del os.environ["GCD_XLA_OPTS"]

@@ -152,7 +152,12 @@ def test_program_policy_applied_at_server_trace(engine):
     the server's jitted program: at max_batch=4 x 14 frames (CFG-doubled
     extent 112, the measured PERF_BATCH pathology) the trace must see
     gn_stats_pallas=True; at other extents it must see no override.
-    Probed by recording the thread-local flag at trace time."""
+    Probed by recording the thread-local flag at trace time.
+
+    On this CPU suite default_compiler_options() is None, so the no-bundle
+    branch of the round-5 refined policy applies — which is also what a
+    TPU server compiled without the bundle option gets; the bundle branch
+    is covered by test_dispatch.test_program_policy_bundle_refinement."""
     from gcd_tpu.ops import dispatch
 
     seen = {}
