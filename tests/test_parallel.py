@@ -75,22 +75,45 @@ def test_emb_mlp_params_stay_replicated():
 
 
 def test_dryrun_multichip_partitions_without_involuntary_remat():
-    """Run the full driver hook in a fresh process (it reconfigures jax
-    platforms) and assert the SPMD partitioner stays silent: involuntary full
-    rematerialization means an inefficient resharding landmine."""
+    """Run the driver hook's SINGLE-PROCESS variant in a fresh process (it
+    reconfigures jax platforms) and assert the SPMD partitioner stays
+    silent: involuntary full rematerialization means an inefficient
+    resharding landmine. Pinned to GCD_DRYRUN_PROCS=1 because the warning
+    check needs the partitioner's stderr in THIS process tree's capture;
+    the multi-process default is covered by test_dryrun_multichip_default_
+    is_multiprocess."""
     import subprocess
     import sys
 
+    env = dict(os.environ, GCD_DRYRUN_PROCS="1")
     r = subprocess.run(
         [sys.executable, "-c",
          "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
-        capture_output=True, text=True, timeout=900,
+        capture_output=True, text=True, timeout=900, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "dryrun_multichip(8) OK" in r.stdout
     assert "Involuntary full rematerialization" not in r.stderr, (
         "\n".join(l for l in r.stderr.splitlines() if "Involuntary" in l)[:2000])
+
+
+def test_dryrun_multichip_default_is_multiprocess():
+    """The driver artifact path: dryrun_multichip(8) defaults to the true
+    multi-host code path (2 jax.distributed processes x 4 local virtual CPU
+    devices) over the same 3-axis data/fsdp/tensor mesh."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "GCD_DRYRUN_PROCS"}
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    assert "dryrun_multichip(8, processes=2) OK" in r.stdout
 
 
 def test_tensor_parallel_sharding_rules():
