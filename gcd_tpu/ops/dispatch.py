@@ -69,7 +69,11 @@ _DEFAULTS = {
     "tconv_split": False,
     "gn_stats_pallas": False,
     "sconv_matmul": False,
-    "subpix_upsample": False,
+    # Round-2 verdict was neutral (2740 vs 2737 ms); under the round-5
+    # bundle-aware-cost-model default the fold now WINS: 5.55/5.54 f/s
+    # (clips 2.52-2.54 s) vs 5.51/5.52 default (2.54-2.57), two runs per
+    # side, every iteration faster. Exact-parity tests in test_subpixel.py.
+    "subpix_upsample": True,
     # e2e A/B on v5e (round 5, serialized same-day runs, 5 clips each):
     # pack2 5.354 f/s (clips 2.61-2.63 s) vs default 5.334 f/s (2.62-2.64 s)
     # -> +0.4%, every iteration faster; numerics A/B in the bench gate.
