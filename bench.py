@@ -465,7 +465,15 @@ def build_train_step():
         bwd_ok = resolve_probes()
     log(f"flash backward kernel available: {bwd_ok}")
 
-    jstep = jax.jit(step, donate_argnums=(0, 1))
+    # GCD_XLA_OPTS A/B hook for the GRAD program (the inference-side
+    # bundle-cost-model default is NOT applied here until its training A/B
+    # is measured; see dispatch.default_compiler_options).
+    topts = None
+    if os.environ.get("GCD_XLA_OPTS"):
+        topts = dict(kv.split("=", 1)
+                     for kv in os.environ["GCD_XLA_OPTS"].split(","))
+        log(f"train compiler_options: {topts}")
+    jstep = jax.jit(step, donate_argnums=(0, 1), compiler_options=topts)
 
     def flagged_step(uparams, opt_state, frames, cond_frames, key):
         # Match the production trainer's trace configuration: tattn Pallas
@@ -473,7 +481,9 @@ def build_train_step():
         # (396.0 vs 383.3 ms/step on v5e — recompute custom_vjp cost;
         # engine/trainer.py make_jitted_train_step). GCD_TATTN_PALLAS=1
         # still overrides for A/B runs.
-        with kernel_flags(tattn_pallas=False):
+        from gcd_tpu.ops.dispatch import TRAIN_TRACE_FLAGS
+
+        with kernel_flags(**TRAIN_TRACE_FLAGS):
             return jstep(uparams, opt_state, frames, cond_frames, key)
 
     return flagged_step, uparams, opt_state

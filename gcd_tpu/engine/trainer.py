@@ -216,9 +216,11 @@ def make_jitted_train_step(engine: DiffusionEngine, opt, mesh=None,
         # concurrent eval/sampling traces on other threads keep the kernel;
         # the GCD_TATTN_PALLAS env var still takes precedence if a user
         # sets it.
-        from gcd_tpu.ops.dispatch import kernel_flags
+        # subpix_upsample is likewise gated OFF in the grad program (see
+        # dispatch.TRAIN_TRACE_FLAGS for both rationales).
+        from gcd_tpu.ops.dispatch import TRAIN_TRACE_FLAGS, kernel_flags
 
-        with kernel_flags(tattn_pallas=False):
+        with kernel_flags(**TRAIN_TRACE_FLAGS):
             return cache["fn"](state, batch, key)
 
     return wrapper

@@ -132,6 +132,20 @@ def kernel_setting(name: str):
 
 _BUNDLE_FLAG = "xla_tpu_use_bundle_aware_cost_model_for_fusions"
 
+# Trace-time flag overrides for TRAINING (grad) programs — the production
+# trainer (engine/trainer.py make_jitted_train_step), the train bench
+# (bench.build_train_step) and the full-size SPMD compile test all trace
+# under these, so they compile the same program:
+#   tattn_pallas=False    — the recompute custom_vjp costs more in grad than
+#                           the forward kernel saves (396.0 vs 383.3 ms/step)
+#   subpix_upsample=False — inference-only win (5.55 vs 5.51 f/s);
+#                           training-neutral (370.0 vs 367.2 ms) AND the
+#                           rewritten upsample graph perturbs GSPMD sharding
+#                           propagation in the full-size 8-device grad
+#                           program (one involuntary-full-remat warning,
+#                           tests/test_spmd_fullsize.py)
+TRAIN_TRACE_FLAGS = {"tattn_pallas": False, "subpix_upsample": False}
+
 
 def default_compiler_options(bt_extent: int | None = None,
                              extra: dict | None = None):

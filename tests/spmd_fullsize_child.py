@@ -134,8 +134,12 @@ def main() -> None:
 
     import functools
 
+    from gcd_tpu.ops.dispatch import TRAIN_TRACE_FLAGS, kernel_flags
+
     step_fn = functools.partial(train_step, engine, opt)
-    with mesh:
+    # Trace under the SAME flag overrides the production trainer traces with
+    # (make_jitted_train_step) so this compiles the production grad program.
+    with mesh, kernel_flags(**TRAIN_TRACE_FLAGS):
         lowered = jax.jit(step_fn, donate_argnums=(0,)).lower(
             state_abs, batch_abs, key_abs)
         compiled = lowered.compile()
